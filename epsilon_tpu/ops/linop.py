@@ -1,0 +1,782 @@
+"""Structured linear-operator algebra.
+
+TPU-native re-design of the reference's ``src/epsilon/linear/`` subsystem
+(``linear_map.h:16-122``: DENSE/SPARSE/DIAGONAL/SCALAR/KRONECKER impls with
+6x6 multiply/add dispatch tables) and of the symbolic builders in
+``python/epopt/linear_map.py:22-166``.
+
+Design: problem data is *concrete* at compile time, so all operator algebra
+(products, sums, inverses, promotion) executes eagerly on the host in
+numpy/scipy.  Only ``matvec``/``matmat`` are JAX-traceable: they close over
+the host arrays, which become XLA constants under ``jit`` — the hot ADMM loop
+sees pure, fused device code.  This replaces the reference's runtime dispatch
+tables (``linear_map_multiply.cc:249-307``) with compile-time algebra.
+
+Vectorization convention is column-major (Fortran) ``vec``, matching the
+reference (constants serialized Fortran-order, ``constant.py:10-34``), so the
+Kronecker identity is ``(A (x) B) vec(X) = vec(B X A^T)``
+(``kronecker_product_impl.cc:45-58``).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsla
+
+from .. import config
+
+__all__ = [
+    "LinOp", "ScalarOp", "DiagonalOp", "DenseOp", "SparseOp", "KronOp",
+    "CholFactorOp", "LuFactorOp",
+    "vec", "mat", "jvec", "jmat",
+    "as_linop", "identity", "scalar", "diagonal", "dense", "sparse",
+    "kronecker", "zero",
+    "index_op", "one_hot", "sum_op", "sum_left", "sum_right", "promote",
+    "negate", "left_matrix_product", "right_matrix_product",
+    "transpose_matrix", "diag_mat", "diag_vec", "trace_op", "upper_tri_op",
+]
+
+
+# ---------------------------------------------------------------------------
+# vec/mat helpers (column-major convention)
+# ---------------------------------------------------------------------------
+
+def vec(X: np.ndarray) -> np.ndarray:
+    """Column-major vectorization (numpy)."""
+    return np.asarray(X).flatten(order="F")
+
+
+def mat(x: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    """Inverse of :func:`vec` (numpy)."""
+    m, n = shape
+    return np.asarray(x).reshape((n, m)).T
+
+
+def jvec(X):
+    """Column-major vectorization, JAX-traceable."""
+    return jnp.reshape(jnp.swapaxes(X, -1, -2), X.shape[:-2] + (-1,))
+
+
+def jmat(x, shape: Tuple[int, int]):
+    """Inverse of :func:`jvec`, JAX-traceable."""
+    m, n = shape
+    return jnp.swapaxes(jnp.reshape(x, x.shape[:-1] + (n, m)), -1, -2)
+
+
+def _dtype():
+    return config.default_np_dtype()
+
+
+# ---------------------------------------------------------------------------
+# Base class
+# ---------------------------------------------------------------------------
+
+class LinOp(abc.ABC):
+    """A structured linear map R^n -> R^m.
+
+    Host-side value object; algebra is eager (numpy/scipy), application is
+    JAX-traceable.
+    """
+
+    shape: Tuple[int, int]
+
+    @property
+    def m(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+    # -- device application ------------------------------------------------
+    @abc.abstractmethod
+    def matvec(self, x):
+        """Apply to a vector (jnp array of shape (n,))."""
+
+    def matmat(self, X):
+        """Apply to a matrix columnwise (jnp array (n, k)). Default loops
+        via matvec-free dense fallback; subclasses override."""
+        return jnp.stack([self.matvec(X[:, i]) for i in range(X.shape[1])], axis=1)
+
+    # -- host-side representations ----------------------------------------
+    @abc.abstractmethod
+    def as_dense(self) -> np.ndarray:
+        ...
+
+    def as_sparse(self) -> sp.spmatrix:
+        return sp.csr_matrix(self.as_dense())
+
+    # -- structure ---------------------------------------------------------
+    @property
+    @abc.abstractmethod
+    def T(self) -> "LinOp":
+        ...
+
+    def inverse(self) -> "LinOp":
+        """Structured inverse (square ops only)."""
+        if self.m != self.n:
+            raise ValueError(f"inverse of non-square operator {self.shape}")
+        A = self.as_dense()
+        if _is_symmetric(A):
+            return LuFactorOp.symmetric(A)
+        return LuFactorOp(A)
+
+    def nnz(self) -> int:
+        """Cost-model nonzeros (mirrors ``linear_map.cc:141-164``, used by
+        the block-Cholesky min-fill heuristic)."""
+        return self.m * self.n
+
+    # -- predicates --------------------------------------------------------
+    def scalar_value(self) -> Optional[float]:
+        """If this operator is alpha*I, return alpha; else None."""
+        return None
+
+    def diag_value(self) -> Optional[np.ndarray]:
+        """If this operator is diag(d), return d; else None."""
+        return None
+
+    @property
+    def is_scalar(self) -> bool:
+        return self.scalar_value() is not None
+
+    @property
+    def is_diagonal(self) -> bool:
+        return self.diag_value() is not None
+
+    # -- algebra -----------------------------------------------------------
+    def __matmul__(self, other):
+        if isinstance(other, LinOp):
+            return multiply(self, other)
+        return self.matvec(other)
+
+    def __add__(self, other: "LinOp") -> "LinOp":
+        return add(self, other)
+
+    def __sub__(self, other: "LinOp") -> "LinOp":
+        return add(self, other.scale(-1.0))
+
+    def __neg__(self) -> "LinOp":
+        return self.scale(-1.0)
+
+    def __rmul__(self, alpha: float) -> "LinOp":
+        return self.scale(float(alpha))
+
+    @abc.abstractmethod
+    def scale(self, alpha: float) -> "LinOp":
+        ...
+
+    def __eq__(self, other):
+        if not isinstance(other, LinOp):
+            return NotImplemented
+        if self.shape != other.shape:
+            return False
+        return np.allclose(self.as_dense(), other.as_dense())
+
+    def __hash__(self):
+        return id(self)
+
+    def gram(self) -> "LinOp":
+        """A^T A as a structured operator."""
+        return multiply(self.T, self)
+
+
+def _is_symmetric(A: np.ndarray, tol: float = 1e-12) -> bool:
+    return A.shape[0] == A.shape[1] and np.allclose(A, A.T, atol=tol)
+
+
+# ---------------------------------------------------------------------------
+# Concrete impls
+# ---------------------------------------------------------------------------
+
+class ScalarOp(LinOp):
+    """alpha * I_n  (``scalar_matrix_impl.h:10-46``)."""
+
+    def __init__(self, alpha: float, n: int):
+        self.alpha = float(alpha)
+        self.shape = (n, n)
+
+    def matvec(self, x):
+        if self.alpha == 1.0:
+            return x
+        return self.alpha * x
+
+    def matmat(self, X):
+        return self.matvec(X)
+
+    def as_dense(self):
+        return self.alpha * np.eye(self.n, dtype=_dtype())
+
+    def as_sparse(self):
+        return sp.identity(self.n, dtype=_dtype(), format="csr") * self.alpha
+
+    @property
+    def T(self):
+        return self
+
+    def inverse(self):
+        return ScalarOp(1.0 / self.alpha, self.n)
+
+    def nnz(self):
+        return self.n
+
+    def scalar_value(self):
+        return self.alpha
+
+    def diag_value(self):
+        return np.full(self.n, self.alpha, dtype=_dtype())
+
+    def scale(self, alpha):
+        return ScalarOp(self.alpha * alpha, self.n)
+
+    def __repr__(self):
+        return f"Scalar({self.alpha}, n={self.n})"
+
+
+class DiagonalOp(LinOp):
+    """diag(d)  (``diagonal_matrix_impl.h``)."""
+
+    def __init__(self, d: np.ndarray):
+        self.d = np.asarray(d, dtype=_dtype()).ravel()
+        self.shape = (self.d.size, self.d.size)
+        self._jd = None
+
+    def _device_d(self):
+        if self._jd is None:
+            self._jd = jnp.asarray(self.d)
+        return self._jd
+
+    def matvec(self, x):
+        return self._device_d() * x
+
+    def matmat(self, X):
+        return self._device_d()[:, None] * X
+
+    def as_dense(self):
+        return np.diag(self.d)
+
+    def as_sparse(self):
+        return sp.diags(self.d).tocsr()
+
+    @property
+    def T(self):
+        return self
+
+    def inverse(self):
+        return DiagonalOp(1.0 / self.d)
+
+    def nnz(self):
+        return self.n
+
+    def scalar_value(self):
+        if self.d.size and np.all(self.d == self.d[0]):
+            return float(self.d[0])
+        return None
+
+    def diag_value(self):
+        return self.d
+
+    def scale(self, alpha):
+        return DiagonalOp(self.d * alpha)
+
+    def __repr__(self):
+        return f"Diagonal(n={self.n})"
+
+
+class DenseOp(LinOp):
+    """Dense matrix (``dense_matrix_impl.{h,cc}``); matvec hits the MXU."""
+
+    def __init__(self, A: np.ndarray):
+        self.A = np.ascontiguousarray(np.asarray(A, dtype=_dtype()))
+        if self.A.ndim != 2:
+            raise ValueError(f"dense operator must be 2-D, got {self.A.shape}")
+        self.shape = self.A.shape
+        self._jA = None
+
+    def _device_A(self):
+        if self._jA is None:
+            self._jA = jnp.asarray(self.A)
+        return self._jA
+
+    def matvec(self, x):
+        return self._device_A() @ x
+
+    def matmat(self, X):
+        return self._device_A() @ X
+
+    def as_dense(self):
+        return self.A
+
+    @property
+    def T(self):
+        return DenseOp(self.A.T)
+
+    def scale(self, alpha):
+        return DenseOp(self.A * alpha)
+
+    def __repr__(self):
+        return f"Dense{self.shape}"
+
+
+class SparseOp(LinOp):
+    """Sparse CSR matrix (``sparse_matrix_impl.{h,cc}``).
+
+    On device it is either densified (small / dense-ish matrices: TPUs have
+    no native sparse matmul) or applied as a BCOO product — see
+    ``config.SPARSE_DENSIFY_*``.
+    """
+
+    def __init__(self, A: sp.spmatrix):
+        self.A = sp.csr_matrix(A).astype(_dtype())
+        self.shape = self.A.shape
+        self._frozen = None
+
+    def _freeze(self):
+        if self._frozen is None:
+            m, n = self.shape
+            density = self.A.nnz / max(1, m * n)
+            if (m * n <= config.SPARSE_DENSIFY_MAX_ELEMS
+                    and density >= config.SPARSE_DENSIFY_DENSITY) or m * n <= 65536:
+                self._frozen = ("dense", jnp.asarray(self.A.toarray()))
+            else:
+                from jax.experimental import sparse as jsparse
+                coo = self.A.tocoo()
+                indices = np.stack([coo.row, coo.col], axis=1)
+                bcoo = jsparse.BCOO(
+                    (jnp.asarray(coo.data), jnp.asarray(indices)),
+                    shape=self.shape)
+                self._frozen = ("bcoo", bcoo)
+        return self._frozen
+
+    def matvec(self, x):
+        kind, A = self._freeze()
+        return A @ x
+
+    def matmat(self, X):
+        kind, A = self._freeze()
+        return A @ X
+
+    def as_dense(self):
+        return self.A.toarray()
+
+    def as_sparse(self):
+        return self.A
+
+    @property
+    def T(self):
+        return SparseOp(self.A.T.tocsr())
+
+    def inverse(self):
+        sv = self.scalar_value()
+        if sv is not None:
+            return ScalarOp(1.0 / sv, self.n)
+        dv = self.diag_value()
+        if dv is not None:
+            return DiagonalOp(1.0 / dv)
+        return super().inverse()
+
+    def nnz(self):
+        return self.A.nnz
+
+    def scalar_value(self):
+        dv = self.diag_value()
+        if dv is not None and dv.size and np.all(dv == dv[0]):
+            return float(dv[0])
+        return None
+
+    def diag_value(self):
+        if self.m != self.n:
+            return None
+        off_diag = self.A - sp.diags(self.A.diagonal())
+        if off_diag.nnz == 0 or np.max(np.abs(off_diag.data)) == 0:
+            return np.asarray(self.A.diagonal())
+        return None
+
+    def scale(self, alpha):
+        return SparseOp(self.A * alpha)
+
+    def __repr__(self):
+        return f"Sparse{self.shape}(nnz={self.A.nnz})"
+
+
+class KronOp(LinOp):
+    """Kronecker product A (x) B, applied via the vec-trick
+    ``(A (x) B) vec(X) = vec(B X A^T)`` (``kronecker_product_impl.cc:45-58``)."""
+
+    def __init__(self, A: LinOp, B: LinOp):
+        self.A = A
+        self.B = B
+        self.shape = (A.m * B.m, A.n * B.n)
+
+    def matvec(self, x):
+        # x = vec(X), X in R^{B.n x A.n} (column-major)
+        X = jmat(x, (self.B.n, self.A.n))
+        BX = self.B.matmat(X)                      # (B.m, A.n)
+        Y = self.A.matmat(BX.T).T                  # (B.m, A.m) = B X A^T
+        return jvec(Y)
+
+    def matmat(self, X):
+        cols = [self.matvec(X[:, i]) for i in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    def as_dense(self):
+        return np.kron(self.A.as_dense(), self.B.as_dense())
+
+    def as_sparse(self):
+        return sp.kron(self.A.as_sparse(), self.B.as_sparse(), format="csr")
+
+    @property
+    def T(self):
+        return KronOp(self.A.T, self.B.T)
+
+    def inverse(self):
+        return KronOp(self.A.inverse(), self.B.inverse())
+
+    def nnz(self):
+        return self.A.nnz() * self.B.nnz()
+
+    def scale(self, alpha):
+        return KronOp(self.A.scale(alpha), self.B)
+
+    def scalar_value(self):
+        a, b = self.A.scalar_value(), self.B.scalar_value()
+        if a is not None and b is not None:
+            return a * b
+        return None
+
+    def diag_value(self):
+        a, b = self.A.diag_value(), self.B.diag_value()
+        if a is not None and b is not None:
+            return np.kron(a, b)
+        return None
+
+    def __repr__(self):
+        return f"Kron({self.A!r}, {self.B!r})"
+
+
+class CholFactorOp(LinOp):
+    """Operator representing ``M^{-1}`` for SPD ``M``, via a cached Cholesky
+    factor.  TPU-native equivalent of the reference's cached LDL^T solve impls
+    (``dense_matrix_impl.cc:90-99``, ``sparse_matrix_impl.cc:60-74``)."""
+
+    def __init__(self, M: np.ndarray):
+        M = np.asarray(M, dtype=_dtype())
+        self.L = scipy.linalg.cholesky(M, lower=True)
+        self.shape = M.shape
+        self._jL = None
+
+    def _device_L(self):
+        if self._jL is None:
+            self._jL = jnp.asarray(self.L)
+        return self._jL
+
+    def matvec(self, x):
+        return jsla.cho_solve((self._device_L(), True), x)
+
+    def matmat(self, X):
+        return jsla.cho_solve((self._device_L(), True), X)
+
+    def as_dense(self):
+        n = self.shape[0]
+        return scipy.linalg.cho_solve((self.L, True), np.eye(n, dtype=_dtype()))
+
+    @property
+    def T(self):
+        return self  # symmetric
+
+    def scale(self, alpha):
+        return DenseOp(self.as_dense() * alpha)
+
+    def __repr__(self):
+        return f"CholFactor{self.shape}"
+
+
+class LuFactorOp(LinOp):
+    """Operator representing ``M^{-1}`` for square (possibly indefinite) ``M``
+    via a cached LU factorization.  Used for quasi-definite KKT pivots in the
+    block LDL^T (the reference uses Eigen LDLT, ``lapack.h:5-13``)."""
+
+    def __init__(self, M: np.ndarray, transposed: bool = False):
+        M = np.asarray(M, dtype=_dtype())
+        self._M = M
+        self.lu, self.piv = scipy.linalg.lu_factor(M)
+        self.shape = M.shape
+        self.transposed = transposed
+        self._jlu = None
+
+    @classmethod
+    def symmetric(cls, M: np.ndarray) -> "LuFactorOp":
+        op = cls(M)
+        op.transposed = False
+        return op
+
+    def _device_lu(self):
+        if self._jlu is None:
+            self._jlu = (jnp.asarray(self.lu), jnp.asarray(self.piv))
+        return self._jlu
+
+    def matvec(self, x):
+        lu, piv = self._device_lu()
+        return jsla.lu_solve((lu, piv), x, trans=1 if self.transposed else 0)
+
+    def matmat(self, X):
+        lu, piv = self._device_lu()
+        return jsla.lu_solve((lu, piv), X, trans=1 if self.transposed else 0)
+
+    def as_dense(self):
+        M = self._M.T if self.transposed else self._M
+        return np.linalg.inv(M)
+
+    @property
+    def T(self):
+        op = LuFactorOp.__new__(LuFactorOp)
+        op._M = self._M
+        op.lu, op.piv = self.lu, self.piv
+        op.shape = self.shape
+        op.transposed = not self.transposed
+        op._jlu = None
+        return op
+
+    def scale(self, alpha):
+        return DenseOp(self.as_dense() * alpha)
+
+    def __repr__(self):
+        return f"LuFactor{self.shape}"
+
+
+# ---------------------------------------------------------------------------
+# Algebra: multiply / add with structure-preserving promotion
+# (replaces the reference's 6x6 dispatch tables,
+#  ``linear_map_multiply.cc:249-307``, ``linear_map_add.cc``)
+# ---------------------------------------------------------------------------
+
+def _sparse_like(op: LinOp) -> bool:
+    if isinstance(op, (ScalarOp, DiagonalOp, SparseOp)):
+        return True
+    if isinstance(op, KronOp):
+        return _sparse_like(op.A) and _sparse_like(op.B)
+    return False
+
+
+def multiply(lhs: LinOp, rhs: LinOp) -> LinOp:
+    if lhs.n != rhs.m:
+        raise ValueError(f"dimension mismatch in multiply: {lhs.shape} @ {rhs.shape}")
+
+    ls, rs = lhs.scalar_value(), rhs.scalar_value()
+    if ls is not None:
+        return rhs.scale(ls) if ls != 1.0 else rhs
+    if rs is not None:
+        return lhs.scale(rs) if rs != 1.0 else lhs
+
+    ld, rd = lhs.diag_value(), rhs.diag_value()
+    if ld is not None and rd is not None:
+        return DiagonalOp(ld * rd)
+
+    if isinstance(lhs, KronOp) and isinstance(rhs, KronOp):
+        # (A1 (x) B1)(A2 (x) B2) = (A1 A2) (x) (B1 B2) when dims conform
+        # (structure preservation per linear_map_multiply.cc:230-241)
+        if lhs.A.n == rhs.A.m and lhs.B.n == rhs.B.m:
+            return KronOp(multiply(lhs.A, rhs.A), multiply(lhs.B, rhs.B))
+
+    if ld is not None and isinstance(rhs, SparseOp):
+        return SparseOp(sp.diags(ld) @ rhs.A)
+    if rd is not None and isinstance(lhs, SparseOp):
+        return SparseOp(lhs.A @ sp.diags(rd))
+    if ld is not None and isinstance(rhs, DenseOp):
+        return DenseOp(ld[:, None] * rhs.A)
+    if rd is not None and isinstance(lhs, DenseOp):
+        return DenseOp(lhs.A * rd[None, :])
+
+    if _sparse_like(lhs) and _sparse_like(rhs):
+        return SparseOp(lhs.as_sparse() @ rhs.as_sparse())
+
+    if isinstance(lhs, SparseOp) and isinstance(rhs, DenseOp):
+        return DenseOp(lhs.A @ rhs.A)
+    if isinstance(lhs, DenseOp) and isinstance(rhs, SparseOp):
+        return DenseOp((rhs.A.T @ lhs.A.T).T)
+
+    return DenseOp(lhs.as_dense() @ rhs.as_dense())
+
+
+def add(lhs: LinOp, rhs: LinOp) -> LinOp:
+    if lhs.shape != rhs.shape:
+        raise ValueError(f"dimension mismatch in add: {lhs.shape} + {rhs.shape}")
+
+    ld, rd = lhs.diag_value(), rhs.diag_value()
+    if ld is not None and rd is not None:
+        s = ld + rd
+        if s.size and np.all(s == s[0]):
+            return ScalarOp(float(s[0]), lhs.n)
+        return DiagonalOp(s)
+
+    if _sparse_like(lhs) and _sparse_like(rhs):
+        return SparseOp(lhs.as_sparse() + rhs.as_sparse())
+
+    return DenseOp(lhs.as_dense() + rhs.as_dense())
+
+
+# ---------------------------------------------------------------------------
+# Constructors (mirror python/epopt/linear_map.py:22-166)
+# ---------------------------------------------------------------------------
+
+def as_linop(A) -> LinOp:
+    if isinstance(A, LinOp):
+        return A
+    if sp.issparse(A):
+        return SparseOp(A)
+    A = np.asarray(A)
+    if A.ndim == 0:
+        raise ValueError("scalar needs explicit dimension; use scalar(alpha, n)")
+    if A.ndim == 1:
+        return DiagonalOp(A)
+    return DenseOp(A)
+
+
+def identity(n: int) -> LinOp:
+    return ScalarOp(1.0, n)
+
+
+def scalar(alpha: float, n: int) -> LinOp:
+    return ScalarOp(alpha, n)
+
+
+def diagonal(d) -> LinOp:
+    return DiagonalOp(np.asarray(d))
+
+
+def dense(A) -> LinOp:
+    return DenseOp(np.asarray(A))
+
+
+def sparse(A) -> LinOp:
+    return SparseOp(A)
+
+
+def zero(m: int, n: int) -> LinOp:
+    return SparseOp(sp.csr_matrix((m, n), dtype=_dtype()))
+
+
+def kronecker(A: LinOp, B: LinOp) -> LinOp:
+    """Kronecker product with scalar collapsing (``linear_map.py:22-39``)."""
+    a, b = A.scalar_value(), B.scalar_value()
+    if a is not None and b is not None:
+        return ScalarOp(a * b, A.n * B.n)
+    if a is not None and A.n == 1:
+        return B.scale(a)
+    if b is not None and B.n == 1:
+        return A.scale(b)
+    return KronOp(A, B)
+
+
+def index_op(start: int, stop: int, step: int, n: int) -> LinOp:
+    """Row-selector for a python slice of an n-vector (``linear_map.py:96-100``)."""
+    idx = np.arange(start, stop, step)
+    m = idx.size
+    data = np.ones(m, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (np.arange(m), idx)), shape=(m, n)))
+
+
+def rows_op(idx: np.ndarray, n: int) -> LinOp:
+    """Selector for arbitrary row indices."""
+    idx = np.asarray(idx)
+    m = idx.size
+    data = np.ones(m, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (np.arange(m), idx)), shape=(m, n)))
+
+
+def one_hot(i: int, n: int) -> LinOp:
+    """e_i^T : R^n -> R (``linear_map.py:102-104``)."""
+    return SparseOp(sp.csr_matrix((np.ones(1, dtype=_dtype()), ([0], [i])), shape=(1, n)))
+
+
+def sum_op(n: int) -> LinOp:
+    """1^T : R^n -> R (``linear_map.py:106-108``)."""
+    return DenseOp(np.ones((1, n), dtype=_dtype()))
+
+
+def sum_left(m: int, n: int) -> LinOp:
+    """X -> 1^T X  summing over rows: maps vec(X) (m x n) to R^n
+    (``linear_map.py:110-112``)."""
+    return kronecker(identity(n), sum_op(m))
+
+
+def sum_right(m: int, n: int) -> LinOp:
+    """X -> X 1  summing over cols: maps vec(X) (m x n) to R^m
+    (``linear_map.py:114-116``)."""
+    return kronecker(sum_op(n), identity(m))
+
+
+def promote(n: int) -> LinOp:
+    """R -> R^n, x -> x*1 (``linear_map.py:118-119``)."""
+    return DenseOp(np.ones((n, 1), dtype=_dtype()))
+
+
+def negate(n: int) -> LinOp:
+    return ScalarOp(-1.0, n)
+
+
+def left_matrix_product(A: LinOp, n: int) -> LinOp:
+    """X -> A X for X with n columns: I_n (x) A (``linear_map.py:121-122``)."""
+    return kronecker(identity(n), A)
+
+
+def right_matrix_product(B: LinOp, m: int) -> LinOp:
+    """X -> X B for X with m rows: B^T (x) I_m (``linear_map.py:124-125``)."""
+    return kronecker(B.T, identity(m))
+
+
+def transpose_matrix(m: int, n: int) -> LinOp:
+    """vec(X) -> vec(X^T) permutation for X in R^{m x n}
+    (``linear_map.py:128-136``)."""
+    row = np.arange(m * n)
+    # Output index k = i_out + j_out*n addresses X^T[i_out, j_out] (X^T is
+    # n x m, column-major vec), which equals vec(X)[j_out + i_out*m].
+    i_out = row % n
+    j_out = row // n
+    col = j_out + i_out * m
+    data = np.ones(m * n, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (row, col)), shape=(m * n, m * n)))
+
+
+def diag_vec(n: int) -> LinOp:
+    """v in R^n -> vec(diag(v)) in R^{n^2} (``linear_map.py:138-144``)."""
+    row = np.arange(n) * (n + 1)
+    col = np.arange(n)
+    data = np.ones(n, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (row, col)), shape=(n * n, n)))
+
+
+def diag_mat(n: int) -> LinOp:
+    """vec(X) in R^{n^2} -> diag(X) in R^n (``linear_map.py:146-152``)."""
+    row = np.arange(n)
+    col = np.arange(n) * (n + 1)
+    data = np.ones(n, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (row, col)), shape=(n, n * n)))
+
+
+def trace_op(n: int) -> LinOp:
+    """vec(X) -> tr(X) (``linear_map.py:154-158``)."""
+    col = np.arange(n) * (n + 1)
+    data = np.ones(n, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (np.zeros(n, dtype=int), col)), shape=(1, n * n)))
+
+
+def upper_tri_op(n: int) -> LinOp:
+    """vec(X) -> entries strictly above the diagonal, row-major order of
+    (i, j), i<j (``linear_map.py:160-166``)."""
+    rows, cols = [], []
+    k = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append(k)
+            cols.append(j * n + i)   # column-major vec index of X[i, j]
+            k += 1
+    m = k
+    data = np.ones(m, dtype=_dtype())
+    return SparseOp(sp.csr_matrix((data, (rows, cols)), shape=(m, n * n)))
