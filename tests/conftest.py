@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment pins JAX_PLATFORMS=axon (TPU tunnel) and the plugin
+# re-registers itself even when the env var is overridden, so force the
+# platform via config too: unit tests must run on true-f64 CPU (the axon
+# backend emulates f64 as double-f32 with f32 dynamic range).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
