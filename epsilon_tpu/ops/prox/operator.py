@@ -1,0 +1,382 @@
+"""Generalized prox operators over block affine structure.
+
+The generalized problem every operator solves (``prox/prox.cc:1-12``):
+
+    Apply(v)  =  argmin_x  alpha * f(H(x))  +  1/2 ||A(x) - v||^2
+
+where ``H`` (the function's affine argument) and ``A`` (the scaled constraint
+columns) are block linear operators.  Three operator families, mirroring the
+reference:
+
+- :class:`VectorProxOperator` — reduces to the canonical kernel when H^T H
+  and H A^T A H^T are scalar/diagonal (``vector_prox.cc:51-116``), with the
+  pre/post transforms v' = B v + g, x = C (y - g) + D v.
+- KKT operators (:class:`ZeroProxOperator`, :class:`AffineProxOperator`,
+  :class:`SumSquareProxOperator`) — cached block-Cholesky solves
+  (``zero.cc``, ``affine.cc``, ``sum_square.cc``).
+- :class:`SecondOrderConeProxOperator` — row-wise SOC projection with
+  scalar scalings (``second_order_cone.cc``).
+
+All ``apply`` methods are JAX-traceable; all structure analysis and
+factorization happens eagerly at construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ... import config
+from ...ir import AffineOperator, ProxFunctionSpec, ProxKind, arg_key
+from .. import linop
+from ..block import BlockMatrix, BlockVector
+from ..cholesky import BlockCholesky
+from . import vector as veckernels
+from .registry import KernelEntry, epigraph_via_bisection, get_kernel
+
+
+class ProxOperator:
+    """Base class (``prox.h:37-49``)."""
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# structure probes
+# ---------------------------------------------------------------------------
+
+def _block_scalar(M: BlockMatrix) -> Optional[float]:
+    """If M is alpha*I on every diagonal block (no off-diagonal blocks),
+    return alpha (``vector_prox.cc:GetScalar``)."""
+    alpha = None
+    for (r, c), op in M.blocks.items():
+        if r != c:
+            return None
+        sv = op.scalar_value()
+        if sv is None:
+            return None
+        if alpha is None:
+            alpha = sv
+        elif not np.isclose(alpha, sv):
+            return None
+    return alpha
+
+
+def _block_diagonal(M: BlockMatrix) -> Optional[np.ndarray]:
+    """If M is diag(d) with the same d on every diagonal block, return d
+    (``vector_prox.cc:GetDiagonal``)."""
+    d = None
+    for (r, c), op in M.blocks.items():
+        if r != c:
+            return None
+        dv = op.diag_value()
+        if dv is None:
+            return None
+        if d is None:
+            d = dv
+        elif d.shape != dv.shape or not np.allclose(d, dv):
+            return None
+    return d
+
+
+# ---------------------------------------------------------------------------
+# VectorProxOperator
+# ---------------------------------------------------------------------------
+
+class VectorProxOperator(ProxOperator):
+    """Canonical-kernel wrapper with scalar/diagonal reduction."""
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 affine_constraint: AffineOperator):
+        self.spec = spec
+        self.entry: KernelEntry = get_kernel(spec.kind)
+        H, A = affine_arg.A, affine_constraint.A
+        self.g = affine_arg.b
+        HT, AT = H.T, A.T
+
+        self.elementwise = False
+        self.D: Optional[BlockMatrix] = None
+
+        beta_s = _block_scalar(HT @ H)
+        gamma_s = _block_scalar(H @ AT @ A @ HT)
+        if beta_s is not None and gamma_s is not None:
+            # scalar reduction (vector_prox.cc:51-70)
+            self.B = (H @ AT).scale(beta_s / gamma_s)
+            self.C = HT.scale(1.0 / beta_s)
+            self.lam = spec.alpha * beta_s * beta_s / gamma_s
+        else:
+            beta = _block_diagonal(HT @ H)
+            gamma = _block_diagonal(H @ AT @ A @ HT)
+            if beta is None or gamma is None:
+                raise ValueError(
+                    f"affine structure not scalar/diagonal for {spec.kind}")
+            if not self.entry.elementwise:
+                raise ValueError(
+                    f"{spec.kind} requires scalar affine scaling")
+            # diagonal reduction w/ zero handling (vector_prox.cc:72-116)
+            lam = np.zeros_like(beta)
+            delta = np.zeros_like(beta)
+            nz = gamma != 0
+            lam[nz] = spec.alpha * beta[nz] ** 2 / gamma[nz]
+            beta = np.where(nz, beta, 1.0)
+            gamma = np.where(nz, gamma, 1.0)
+            delta[~nz] = 1.0
+            B0 = BlockMatrix({(k, k): linop.diagonal(beta / gamma)
+                              for k in H.col_keys()})
+            C0 = BlockMatrix({(k, k): linop.diagonal(1.0 / beta)
+                              for k in H.col_keys()})
+            D0 = BlockMatrix({(k, k): linop.diagonal(delta)
+                              for k in H.col_keys()})
+            self.B = H @ B0 @ AT
+            self.C = C0 @ HT
+            self.D = (AT @ A).inverse() @ D0 @ AT
+            self.lam = lam
+            self.elementwise = True
+
+        if spec.epigraph and self.elementwise:
+            raise ValueError("epigraph projection requires isotropic metric "
+                             "(scalar affine scaling)")
+
+        # argument bookkeeping
+        self.n_args = len(spec.arg_sizes) if spec.arg_sizes else 1
+        self.arg_dims = [int(np.prod(s)) if s else 1 for s in (spec.arg_sizes or [None])]
+        if not spec.arg_sizes:
+            # infer from H row dims
+            self.arg_dims = [affine_arg.A.row_dim(arg_key(0))]
+
+    # -- kernel invocation -------------------------------------------------
+    def _params(self) -> Dict:
+        p = dict(self.spec.scaled_zone_params or {})
+        if self.spec.k is not None:
+            p["k"] = self.spec.k
+        return p
+
+    def _kernel_args(self, u: BlockVector):
+        dtype = config.default_dtype()
+        vals = []
+        for i in range(self.n_args):
+            key = arg_key(i)
+            dim = self.arg_dims[i]
+            if key in u:
+                vals.append(u[key])
+            else:
+                vals.append(jnp.zeros(dim, dtype=dtype))
+        return vals
+
+    def _apply_kernel(self, vals: List[jnp.ndarray]):
+        spec, entry, p = self.spec, self.entry, self._params()
+        lam = self.lam
+
+        if spec.epigraph:
+            # last arg is the scalar t; leading args feed the kernel
+            s = vals[-1][0]
+            epi = entry.epi or epigraph_via_bisection(spec.kind)
+            if entry.matrix:
+                m, n = spec.arg_sizes[0]
+                V = linop.jmat(vals[0], (m, n))
+                X, t = epi(V, s, **p)
+                return [linop.jvec(X), jnp.reshape(t, (1,))]
+            if entry.nargs == 2:
+                x, y, t = epi((vals[0], vals[1]), s, **p)
+                return [x, y, jnp.reshape(t, (1,))]
+            if spec.axis is not None:
+                raise NotImplementedError("axis-mode epigraph")
+            x, t = epi(vals[0], s, **p)
+            return [x, jnp.reshape(t, (1,))]
+
+        if entry.matrix:
+            m, n = spec.arg_sizes[0]
+            V = linop.jmat(vals[0], (m, n))
+            X = entry.prox(V, lam, **p)
+            return [linop.jvec(X)]
+        if entry.nargs == 2:
+            x, y = entry.prox((vals[0], vals[1]), lam, **p)
+            return [x, y]
+        if spec.axis is not None:
+            # axis-mode batching: vmap the vector kernel over rows/cols of
+            # mat(v) (replaces the serial loop vector_prox.cc:147-183)
+            m, n = spec.arg_sizes[0]
+            V = linop.jmat(vals[0], (m, n))
+            # axis = reduction axis: axis=0 -> kernel along columns
+            kern = lambda col: entry.prox(col, lam, **p)
+            if self.spec.axis == 0:
+                X = jax.vmap(kern, in_axes=1, out_axes=1)(V)
+            else:
+                X = jax.vmap(kern, in_axes=0, out_axes=0)(V)
+            return [linop.jvec(X)]
+        return [entry.prox(vals[0], lam, **p)]
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        u = self.B.apply(v) + self.g
+        vals = self._kernel_args(u)
+        outs = self._apply_kernel(vals)
+        y = BlockVector({arg_key(i): outs[i] for i in range(len(outs))})
+        x = self.C.apply(y - self.g)
+        if self.D is not None:
+            x = x + self.D.apply(v)
+        return x
+
+    def feval(self, u: BlockVector):
+        vals = self._kernel_args(u)
+        p = self._params()
+        if self.entry.nargs == 2:
+            return self.entry.feval((vals[0], vals[1]), **p)
+        if self.entry.matrix:
+            m, n = self.spec.arg_sizes[0]
+            return self.entry.feval(linop.jmat(vals[0], (m, n)), **p)
+        return self.entry.feval(vals[0], **p)
+
+
+# ---------------------------------------------------------------------------
+# KKT-based operators
+# ---------------------------------------------------------------------------
+
+def _kkt_blocks(*mats: BlockMatrix) -> Dict:
+    out = BlockMatrix()
+    for M in mats:
+        for (r, c), op in M.blocks.items():
+            out.insert(r, c, op)
+    return out
+
+
+class ZeroProxOperator(ProxOperator):
+    """Projection onto {H(x) + g = 0} in the metric ||A(x) - v||
+    (``zero.cc:8-36``): solve
+        [ 0   H'  A'][x]   [ 0]
+        [ H   0   0 ][y] = [-g]
+        [ A   0  -I ][z]   [ v]
+    """
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 affine_constraint: AffineOperator):
+        H, g = affine_arg.A, affine_arg.b
+        A = affine_constraint.A
+        M = _kkt_blocks(H, H.T, A, A.T,
+                        A.left_identity().scale(-1.0))
+        self.chol = BlockCholesky(M).factor()
+        self.rhs0 = -1.0 * g
+        self.var_keys = H.col_keys()
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        return self.chol.solve(self.rhs0 + v).select(self.var_keys)
+
+
+class AffineProxOperator(ProxOperator):
+    """f(x) = c'x (+ const): solve [0 A'; A -I][x; z] = [-c; v - b]
+    (``affine.cc:20-49``). The linear functional c comes from H's 1-row
+    blocks scaled by alpha."""
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 affine_constraint: AffineOperator):
+        A, b = affine_constraint.A, affine_constraint.b
+        M = _kkt_blocks(A, A.T, A.left_identity().scale(-1.0))
+        self.chol = BlockCholesky(M).factor()
+        c = BlockVector()
+        if spec.kind == ProxKind.AFFINE:
+            for (r, ckey), op in affine_arg.A.blocks.items():
+                dense = op.as_dense()
+                assert dense.shape[0] == 1, "affine arg must be 1-row"
+                vec = jnp.asarray(dense[0] * spec.alpha)
+                c[ckey] = c[ckey] + vec if ckey in c else vec
+        self.rhs0 = -1.0 * b - c
+        self.var_keys = A.col_keys()
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        return self.chol.solve(self.rhs0 + v).select(self.var_keys)
+
+
+class SumSquareProxOperator(ProxOperator):
+    """f = alpha*||H(x) + g||^2: solve
+        [ 0    aH'  A'][x]   [  0 ]
+        [ aH   -I   0 ][y] = [-ag ]
+        [ A    0   -I ][z]   [  v ]
+    with a = sqrt(2*alpha) (``sum_square.cc:9-44``)."""
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 affine_constraint: AffineOperator):
+        H, g = affine_arg.A, affine_arg.b
+        A = affine_constraint.A
+        a = float(np.sqrt(2.0 * spec.alpha))
+        Ha = BlockMatrix({k: op.scale(a) for k, op in H.blocks.items()})
+        M = _kkt_blocks(Ha, Ha.T, A, A.T,
+                        H.left_identity().scale(-1.0),
+                        A.left_identity().scale(-1.0))
+        self.chol = BlockCholesky(M).factor()
+        self.rhs0 = (-a) * g
+        self.var_keys = H.col_keys()
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        return self.chol.solve(self.rhs0 + v).select(self.var_keys)
+
+
+# ---------------------------------------------------------------------------
+# Second-order cone
+# ---------------------------------------------------------------------------
+
+class SecondOrderConeProxOperator(ProxOperator):
+    """Row-wise SOC projection ||ax*x_i + bx|| <= at*t_i + bt_i
+    (``second_order_cone.cc:29-112``); arg0 = t (m,), arg1 = X (m, n)."""
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 affine_constraint: AffineOperator):
+        assert len(spec.arg_sizes) == 2
+        self.m, self.n = spec.arg_sizes[1]
+        H, g = affine_arg.A, affine_arg.b
+        A = affine_constraint.A
+        # find var keys for t and x rows
+        self.t_key = self.x_key = None
+        at = ax = None
+        for (r, c), op in H.blocks.items():
+            if r == arg_key(0):
+                self.t_key, at = c, op.scalar_value()
+            elif r == arg_key(1):
+                self.x_key, ax = c, op.scalar_value()
+            else:
+                raise ValueError(f"unexpected arg row {r}")
+        if at is None or ax is None:
+            raise ValueError("SOC scalings must be scalar")
+        ATA = A.T @ A
+        alphat = ATA[(self.t_key, self.t_key)].scalar_value()
+        alphax = ATA[(self.x_key, self.x_key)].scalar_value()
+        if alphat is None or alphax is None or not np.isclose(alphat, alphax):
+            raise ValueError("A'A not scalar for SOC")
+        self.AT = A.T.scale(1.0 / alphat)
+        dtype = config.default_dtype()
+        self.a = at / abs(ax)
+        bt = g.get(arg_key(0), self.m)
+        bx = g.get(arg_key(1), self.m * self.n)
+        self.bt = jnp.asarray(bt, dtype=dtype) / abs(ax)
+        self.bx = jnp.asarray(bx, dtype=dtype) / ax
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        u = self.AT.apply(v)
+        X = linop.jmat(u[self.x_key] + self.bx, (self.m, self.n))
+        t = u[self.t_key] + self.bt / self.a
+        Xp, tp = veckernels.project_soc_rows(X, t, self.a)
+        out = BlockVector()
+        out[self.x_key] = linop.jvec(Xp) - self.bx
+        out[self.t_key] = tp - self.bt / self.a
+        return out
+
+
+# ---------------------------------------------------------------------------
+# factory (CreateProxOperator, prox.cc:29-45)
+# ---------------------------------------------------------------------------
+
+def create_prox_operator(spec: ProxFunctionSpec,
+                         affine_arg: AffineOperator,
+                         affine_constraint: AffineOperator) -> ProxOperator:
+    kind = spec.kind
+    if kind == ProxKind.ZERO:
+        return ZeroProxOperator(spec, affine_arg, affine_constraint)
+    if kind in (ProxKind.AFFINE, ProxKind.CONSTANT):
+        return AffineProxOperator(spec, affine_arg, affine_constraint)
+    if kind == ProxKind.SUM_SQUARE and not spec.epigraph:
+        return SumSquareProxOperator(spec, affine_arg, affine_constraint)
+    if kind == ProxKind.SECOND_ORDER_CONE:
+        return SecondOrderConeProxOperator(spec, affine_arg, affine_constraint)
+    return VectorProxOperator(spec, affine_arg, affine_constraint)

@@ -52,7 +52,35 @@ def _scaled_zone_entry(defaults):
     return KernelEntry(prox=prox, epi=epi, feval=feval, elementwise=True)
 
 
+def _epi_sum_square(v, s):
+    """Project (v, s) onto {(x, t): ||x||^2 <= t}: lam >= max(0, -s) solves
+    (s + lam)(1 + 2 lam)^2 = ||v||^2 (``sum_square.cc:46-57``), then
+    x = v/(1+2 lam), t = s + lam."""
+    from .util import bisect
+    u2 = jnp.sum(v * v)
+
+    def g(lam):
+        return (s + lam) * (1.0 + 2.0 * lam) ** 2 - u2
+
+    lo = jnp.maximum(0.0, -s)
+    hi = lo + jnp.sqrt(u2) + u2 + 1.0
+    import jax as _jax
+    hi = _jax.lax.fori_loop(0, 40, lambda _, h: jnp.where(g(h) < 0, 2 * h, h), hi)
+    lam = bisect(g, lo, hi, iters=90)
+    inactive = u2 <= s
+    x = jnp.where(inactive, v, v / (1.0 + 2.0 * lam))
+    t = jnp.where(inactive, s, s + lam)
+    return x, t
+
+
 KERNELS: Dict[ProxKind, KernelEntry] = {
+    ProxKind.SUM_SQUARE: KernelEntry(
+        # canonical form (H = I); the general case uses the KKT operator
+        # (sum_square.cc:9-44)
+        prox=lambda v, lam, **p: v / (1.0 + 2.0 * lam),
+        epi=lambda v, s, **p: _epi_sum_square(v, s),
+        feval=lambda x, **p: jnp.sum(x * x),
+        elementwise=True),
     ProxKind.NON_NEGATIVE: KernelEntry(
         prox=lambda v, lam, **p: ew.prox_non_negative(v, lam),
         # I(x>=0) epigraph is just the cone itself on (x, free t): not used

@@ -1,0 +1,390 @@
+"""ADMM operator-splitting solvers, fully jitted.
+
+TPU-native re-design of ``src/epsilon/algorithms/``:
+
+- :class:`ProxADMMTwoBlockSolver` — two-block consensus ADMM
+  (``prox_admm_two_block.cc``): x-update applies all prox operators at
+  ``z - u`` independently (embarrassingly parallel — the scaling path,
+  sharded in :mod:`epsilon_tpu.parallel`); z-update projects onto the
+  constraint set via a cached block-Cholesky ZERO-prox; ``u += x - z``.
+- :class:`ProxADMMSolver` — N-block Gauss-Seidel ADMM (``prox_admm.cc``):
+  sequential sweep over terms in the constraint-row space.
+
+Both run either as a single jitted ``lax.while_loop`` over epochs
+(``drive='device'``) or as a Python epoch loop around a jitted epoch step
+(``drive='host'``, with per-epoch logging/series), with residual checks every
+``epoch_iterations`` exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ir import (AffineOperator, Cone, ProxFunctionSpec, ProxKind,
+                  ProxProblem, ProxTerm, arg_key, constraint_key)
+from ..ops import linop
+from ..ops.block import BlockMatrix, BlockVector
+from ..ops.prox.operator import create_prox_operator
+from .objective import problem_objective
+from .params import SolverParams
+from .status import Residuals, SolverState, SolverStatus
+
+logger = logging.getLogger("epsilon_tpu")
+
+
+def _zeros(dims: Dict[str, int]) -> BlockVector:
+    dtype = config.default_dtype()
+    return BlockVector({k: jnp.zeros(n, dtype=dtype) for k, n in dims.items()})
+
+
+def _rekey_constraint(i: int, affop: AffineOperator):
+    """Re-key a constraint's affine operator rows onto constraint_key(i)
+    (suffixing when the constraint has several row blocks), mirroring
+    ``affine::constraint_key`` row naming (``affine.cc:136-140``)."""
+    rows = sorted({r for (r, _) in affop.A.blocks} | set(affop.b.keys()))
+    mapping = {}
+    for j, r in enumerate(rows):
+        mapping[r] = constraint_key(i) if len(rows) == 1 else f"{constraint_key(i)}:{j}"
+    A = BlockMatrix({(mapping[r], c): op for (r, c), op in affop.A.blocks.items()})
+    b = BlockVector({mapping[r]: v for r, v in affop.b.items()})
+    return A, b
+
+
+class SolverBase:
+    """Status plumbing shared by both drivers (``solver.h:42-102``)."""
+
+    def __init__(self, problem: ProxProblem, params: SolverParams):
+        self.problem = problem
+        self.params = params
+        self.status = SolverStatus()
+        self._warm_state = None
+
+    def objective_value(self, x: BlockVector):
+        return problem_objective(self.problem, x)
+
+    def _finish(self, state, iters, res, converged, t_init, t_solve):
+        self.status.num_iterations = int(iters)
+        self.status.residuals = Residuals(
+            float(res[0]), float(res[1]), float(res[2]), float(res[3]))
+        self.status.state = (SolverState.OPTIMAL if bool(converged)
+                             else SolverState.MAX_ITERATIONS_REACHED)
+        self.status.timing.init_usec = int(t_init * 1e6)
+        self.status.timing.solve_usec = int(t_solve * 1e6)
+        self.status.timing.total_usec = int((t_init + t_solve) * 1e6)
+        if self.params.warm_start:
+            self._warm_state = state
+        if self.params.verbose:
+            logger.info(self.status.log_line())
+
+
+class ProxADMMTwoBlockSolver(SolverBase):
+    """Two-block consensus ADMM (``prox_admm_two_block.{h,cc}``)."""
+
+    def __init__(self, problem: ProxProblem, params: SolverParams):
+        super().__init__(problem, params)
+        t0 = time.time()
+        sqrt_rho = float(np.sqrt(params.rho))
+        self.sqrt_rho = sqrt_rho
+
+        # Constraint projection operator over all constraint variables
+        # (prox_admm_two_block.cc:21-50)
+        Hc = BlockMatrix()
+        gc = BlockVector()
+        self.z_dims: Dict[str, int] = {}
+        for i, con in enumerate(problem.constraints):
+            if con.cone != Cone.ZERO:
+                raise ValueError(f"two-block ADMM supports ZERO cones only, "
+                                 f"got {con.cone}")
+            Ai, bi = _rekey_constraint(i, con.op)
+            for (r, c), op in Ai.blocks.items():
+                Hc.insert(r, c, op)
+                self.z_dims[c] = op.n
+            for r, vec in bi.items():
+                gc[r] = vec
+        Ac = BlockMatrix({(k, k): linop.scalar(sqrt_rho, n)
+                          for k, n in self.z_dims.items()})
+        self.constr_prox = None
+        if self.z_dims:
+            self.constr_prox = create_prox_operator(
+                ProxFunctionSpec(kind=ProxKind.ZERO),
+                AffineOperator(Hc, gc), AffineOperator(Ac, BlockVector()))
+        self.m = sum(Hc.row_dim(r) for r in Hc.row_keys())
+        self.n = sum(self.z_dims.values())
+
+        # Per-term prox operators with A = sqrt(rho)*I over term variables
+        # (prox_admm_two_block.cc:52-88)
+        self.term_ops = []
+        self.term_vars: List[List[str]] = []
+        for term in problem.terms:
+            tvars = sorted({c for (_, c) in term.H.A.blocks})
+            A = BlockMatrix({(k, k): linop.scalar(sqrt_rho, problem.var_dims[k])
+                             for k in tvars})
+            op = create_prox_operator(term.spec, term.H,
+                                      AffineOperator(A, BlockVector()))
+            self.term_ops.append(op)
+            self.term_vars.append(tvars)
+
+        self._t_init = time.time() - t0
+        self._compiled = None
+
+    # -- iteration bodies (traceable) --------------------------------------
+    def _iter_body(self, state):
+        z, u = state
+        zu = z - u
+        x = BlockVector()
+        for op in self.term_ops:
+            x = x + op.apply(self.sqrt_rho * zu)
+        if self.constr_prox is not None:
+            z_new = self.constr_prox.apply(self.sqrt_rho * (x + u))
+        else:
+            z_new = x + u
+        u_new = u + x - z_new
+        return (z_new, u_new), x
+
+    def _residuals(self, state, x, z_prev):
+        z, u = state
+        rho = self.params.rho
+        abs_tol, rel_tol = self.params.abs_tol, self.params.rel_tol
+        sqrt_n = float(np.sqrt(max(self.n, 1)))
+        r_norm = (x - z).norm()
+        s_norm = rho * (z - z_prev).norm()
+        eps_p = abs_tol * sqrt_n + rel_tol * jnp.maximum(x.norm(), z.norm())
+        eps_d = abs_tol * sqrt_n + rel_tol * rho * u.norm()
+        return jnp.stack([r_norm, s_norm, eps_p, eps_d])
+
+    def _epoch(self, state):
+        """epoch_iterations sweeps + residuals (traceable)."""
+        z_prev = state[0]
+        x = None
+        for _ in range(self.params.epoch_iterations):
+            state, x = self._iter_body(state)
+        res = self._residuals(state, x, z_prev)
+        conv = (res[0] <= res[2]) & (res[1] <= res[3])
+        return state, x, res, conv
+
+    def _init_state(self):
+        if self.params.warm_start and self._warm_state is not None:
+            return self._warm_state
+        z = _zeros(self.z_dims)
+        u = _zeros(self.z_dims)
+        return (z, u)
+
+    def solve(self) -> BlockVector:
+        t0 = time.time()
+        state = self._init_state()
+        epoch_iters = self.params.epoch_iterations
+        max_epochs = max(1, self.params.max_iterations // epoch_iters)
+
+        if self.params.drive == "device":
+            if self._compiled is None:
+                @jax.jit
+                def run(state):
+                    def cond(carry):
+                        state, x, it, res, conv = carry
+                        return (~conv) & (it < max_epochs * epoch_iters)
+
+                    def body(carry):
+                        state, _, it, _, _ = carry
+                        state, x, res, conv = self._epoch(state)
+                        return state, x, it + epoch_iters, res, conv
+
+                    state0, x0, res0, conv0 = self._epoch(state)
+                    carry = (state0, x0, jnp.asarray(epoch_iters), res0, conv0)
+                    return jax.lax.while_loop(cond, body, carry)
+
+                self._compiled = run
+            state, x, iters, res, conv = self._compiled(state)
+            x = jax.block_until_ready(x)
+        else:
+            epoch_fn = jax.jit(self._epoch)
+            iters, conv = 0, False
+            x = res = None
+            series = []
+            while iters < self.params.max_iterations and not conv:
+                state, x, res, conv = epoch_fn(state)
+                conv = bool(conv)
+                iters += epoch_iters
+                series.append(Residuals(*[float(v) for v in res]))
+                if self.params.verbose and (iters % self.params.log_iterations
+                                            < epoch_iters):
+                    self.status.num_iterations = iters
+                    self.status.residuals = series[-1]
+                    logger.info(self.status.log_line())
+            self.status.series = series
+
+        self._finish(state, iters, res, conv, self._t_init, time.time() - t0)
+        return x
+
+
+class ProxADMMSolver(SolverBase):
+    """N-block Gauss-Seidel ADMM (``prox_admm.{h,cc}``); requires rho == 1
+    (``prox_admm.cc:51``)."""
+
+    def __init__(self, problem: ProxProblem, params: SolverParams):
+        super().__init__(problem, params)
+        if params.rho != 1.0:
+            raise ValueError("ProxADMMSolver requires rho == 1")
+        t0 = time.time()
+
+        # Global constraint operator (prox_admm.cc:24-42)
+        self.A = BlockMatrix()
+        self.b = BlockVector()
+        self.row_dims: Dict[str, int] = {}
+        for i, con in enumerate(problem.constraints):
+            if con.cone != Cone.ZERO:
+                raise ValueError("ProxADMM supports ZERO cones only")
+            Ai, bi = _rekey_constraint(i, con.op)
+            for (r, c), op in Ai.blocks.items():
+                self.A.insert(r, c, op)
+                self.row_dims[r] = op.m
+            for r, vec in bi.items():
+                self.b[r] = vec
+        self.AT = self.A.T
+        self.m = sum(self.row_dims.values())
+        self.n = sum(problem.var_dims[c] for c in self.A.col_keys())
+
+        # Per-term prox operators bound to the sqrt(rho)-scaled constraint
+        # columns of the term's variables (prox_admm.cc:45-94)
+        self.term_ops = []
+        self.AiT = []
+        constr_vars = set(self.A.col_keys())
+        for term in problem.terms:
+            tvars = sorted({c for (_, c) in term.H.A.blocks})
+            Ai = self.A.select_cols([v for v in tvars if v in constr_vars])
+            op = create_prox_operator(term.spec, term.H,
+                                      AffineOperator(Ai, BlockVector()))
+            self.term_ops.append(op)
+            self.AiT.append(Ai.T)
+
+        self._t_init = time.time() - t0
+        self._compiled = None
+
+    # -- iteration (traceable) ---------------------------------------------
+    def _sweep(self, state):
+        """One Gauss-Seidel sweep (prox_admm.cc:134-148)."""
+        u, ys = state
+        u = u - self.b
+        for y in ys:
+            u = u - y
+        xs = []
+        new_ys = []
+        for i, op in enumerate(self.term_ops):
+            u = u + ys[i]
+            x = op.apply(u)
+            y = self.A.apply(x)
+            u = u - y
+            xs.append(x)
+            new_ys.append(y)
+        return (u, tuple(new_ys)), tuple(xs)
+
+    def _residuals(self, state, xs, ys_prev):
+        u, ys = state
+        abs_tol, rel_tol = self.params.abs_tol, self.params.rel_tol
+        rho = self.params.rho
+        N = len(self.term_ops)
+
+        Ax_b = self.b
+        max_norm = self.b.norm()
+        for x in xs:
+            Ai_xi = self.A.apply(x)
+            max_norm = jnp.maximum(max_norm, Ai_xi.norm())
+            Ax_b = Ax_b + Ai_xi
+        r_norm = Ax_b.norm()
+
+        s_sq = jnp.asarray(0.0, dtype=config.default_dtype())
+        Ax_diff = BlockVector()
+        for i in range(N - 2, -1, -1):
+            Ax_diff = Ax_diff + (ys[i + 1] - ys_prev[i + 1])
+            s_i = self.AiT[i].apply(Ax_diff).norm()
+            s_sq = s_sq + s_i * s_i
+        s_norm = rho * jnp.sqrt(s_sq)
+
+        eps_p = abs_tol * float(np.sqrt(max(self.m, 1))) + rel_tol * max_norm
+        eps_d = (abs_tol * float(np.sqrt(max(self.n, 1)))
+                 + rel_tol * rho * self.AT.apply(u).norm())
+        return jnp.stack([r_norm, s_norm, eps_p, eps_d])
+
+    def _epoch(self, state):
+        ys_prev = state[1]
+        xs = None
+        for _ in range(self.params.epoch_iterations):
+            state, xs = self._sweep(state)
+        res = self._residuals(state, xs, ys_prev)
+        conv = (res[0] <= res[2]) & (res[1] <= res[3])
+        return state, xs, res, conv
+
+    def _init_state(self):
+        if self.params.warm_start and self._warm_state is not None:
+            return self._warm_state
+        dtype = config.default_dtype()
+        u = BlockVector({k: jnp.zeros(n, dtype=dtype)
+                         for k, n in self.row_dims.items()})
+        ys = tuple(BlockVector({k: jnp.zeros(n, dtype=dtype)
+                                for k, n in self.row_dims.items()})
+                   for _ in self.term_ops)
+        return (u, ys)
+
+    def solve(self) -> BlockVector:
+        t0 = time.time()
+        state = self._init_state()
+        epoch_iters = self.params.epoch_iterations
+        max_epochs = max(1, self.params.max_iterations // epoch_iters)
+
+        if self.params.drive == "device":
+            if self._compiled is None:
+                @jax.jit
+                def run(state):
+                    def cond(carry):
+                        state, xs, it, res, conv = carry
+                        return (~conv) & (it < max_epochs * epoch_iters)
+
+                    def body(carry):
+                        state, _, it, _, _ = carry
+                        state, xs, res, conv = self._epoch(state)
+                        return state, xs, it + epoch_iters, res, conv
+
+                    state0, xs0, res0, conv0 = self._epoch(state)
+                    carry = (state0, xs0, jnp.asarray(epoch_iters), res0, conv0)
+                    return jax.lax.while_loop(cond, body, carry)
+
+                self._compiled = run
+            state, xs, iters, res, conv = self._compiled(state)
+            xs = jax.block_until_ready(xs)
+        else:
+            epoch_fn = jax.jit(self._epoch)
+            iters, conv = 0, False
+            xs = res = None
+            series = []
+            while iters < self.params.max_iterations and not conv:
+                state, xs, res, conv = epoch_fn(state)
+                conv = bool(conv)
+                iters += epoch_iters
+                series.append(Residuals(*[float(v) for v in res]))
+                if self.params.verbose and (iters % self.params.log_iterations
+                                            < epoch_iters):
+                    self.status.num_iterations = iters
+                    self.status.residuals = series[-1]
+                    logger.info(self.status.log_line())
+            self.status.series = series
+
+        self._finish(state, iters, res, conv, self._t_init, time.time() - t0)
+        # solution = sum_i x_i (prox_admm.cc:171-176)
+        out = BlockVector()
+        for x in xs:
+            out = out + x
+        return out
+
+
+def create_solver(problem: ProxProblem, params: SolverParams):
+    from .params import SolverKind
+    if params.solver == SolverKind.PROX_ADMM:
+        return ProxADMMSolver(problem, params)
+    return ProxADMMTwoBlockSolver(problem, params)

@@ -1,0 +1,36 @@
+"""Solver parameters (mirrors ``proto/epsilon/solver_params.proto``)."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class SolverKind(enum.Enum):
+    PROX_ADMM = "prox_admm"                      # solver_params.proto:64
+    PROX_ADMM_TWO_BLOCK = "prox_admm_two_block"  # solver_params.proto:65
+
+
+@dataclasses.dataclass
+class SolverParams:
+    # stopping criteria (solver_params.proto:26-28, :7)
+    rel_tol: float = 1e-2
+    abs_tol: float = 1e-4
+    max_iterations: int = 10000
+    # algorithm parameters (solver_params.proto:36-39)
+    rho: float = 1.0
+    epoch_iterations: int = 10
+    log_iterations: int = 100
+    # compiler toggle (solver_params.proto:60)
+    use_epigraph: bool = True
+    solver: SolverKind = SolverKind.PROX_ADMM_TWO_BLOCK
+    # warm start (solver_params.proto:69-70)
+    warm_start: bool = False
+    verbose: bool = False
+    # 'device': whole solve is one jitted while_loop (fastest);
+    # 'host': python epoch loop with logging/callbacks per epoch.
+    drive: str = "device"
+
+    def __post_init__(self):
+        if isinstance(self.solver, str):
+            self.solver = SolverKind(self.solver)
