@@ -1,0 +1,134 @@
+"""Top-level solve / eval_prox entry points.
+
+Mirrors ``python/epopt/cvxpy_solver.py:64-104`` (compile -> solve ->
+write-back, with a compiled-problem cache for warm starts and a single-prox
+fast path) and ``python/epopt/prox.py`` (``eval_prox`` as the kernel test
+hook, ``solvemodule.cc:189-242``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..compiler import compiler, text_format
+from ..ir import ProxProblem, arg_key
+from ..ops import linop
+from ..ops.block import BlockMatrix, BlockVector
+from ..solvers import SolverParams, SolverState, create_solver, problem_objective
+from . import api
+from . import expression as ex
+
+logger = logging.getLogger("epsilon_tpu")
+
+# compiled-problem cache keyed by id(problem) (cvxpy_solver.py:20,70-76)
+_PROBLEM_CACHE: Dict[int, tuple] = {}
+
+
+def _set_solution(problem: api.Problem, values: BlockVector,
+                  prox_problem: ProxProblem):
+    var_objs: Dict[str, api.Variable] = {}
+    api.expr_var_objects(problem.objective.expr, var_objs)
+    for c in problem.constraints:
+        api.expr_var_objects(c, var_objs)
+    for vid, var in var_objs.items():
+        if vid in values:
+            val = np.asarray(values[vid])
+            var.value = linop.mat(val, var.size)
+        else:
+            # variable eliminated (e.g. only in separated copies) — gather
+            # from any copy
+            for key in values.keys():
+                if key.startswith(f"separate:{vid}:"):
+                    var.value = linop.mat(np.asarray(values[key]), var.size)
+                    break
+
+
+def solve(problem: api.Problem, verbose: bool = False, **kwargs) -> float:
+    """Compile + solve; writes variable values; returns objective value."""
+    params = SolverParams(**{**kwargs, "verbose": verbose})
+
+    t0 = time.time()
+    key = id(problem)
+    cached = _PROBLEM_CACHE.get(key) if params.warm_start else None
+    if cached is not None:
+        prox_problem, solver = cached
+        solver.params = params
+    else:
+        prox_problem = compiler.compile_problem(
+            problem.expression_problem(), use_epigraph=params.use_epigraph)
+        solver = create_solver(prox_problem, params)
+        if params.warm_start:
+            _PROBLEM_CACHE[key] = (prox_problem, solver)
+    compile_time = time.time() - t0
+    if verbose:
+        logger.info("Epsilon compile time: %.4fs", compile_time)
+        logger.info("%s", text_format.format_problem(prox_problem))
+
+    t0 = time.time()
+    values = solver.solve()
+    solve_time = time.time() - t0
+    if verbose:
+        logger.info("Epsilon solve time: %.4fs", solve_time)
+
+    _set_solution(problem, values, prox_problem)
+    problem.solver_status = solver.status
+    problem.status = ("optimal" if solver.status.state == SolverState.OPTIMAL
+                      else "max_iterations")
+    obj = float(problem_objective(prox_problem, values))
+    return obj
+
+
+def eval_prox(f, v_map: Dict[api.Variable, np.ndarray], lam: float = 1.0,
+              expected_kind=None, epigraph: Optional[bool] = None):
+    """Evaluate a single proximal operator: for each variable x with value
+    v, compute argmin lam*f(x) + 1/2 sum ||x - v||^2 and write it back
+    (``prox.py:16-51``, ``solvemodule.cc:189-242``)."""
+    from ..ops.prox.operator import create_prox_operator
+    from ..ir import AffineOperator
+
+    problem = ex.Problem(objective=api._wrap(f), constraints=[])
+    prox_problem = compiler.compile_problem(problem)
+    if len(prox_problem.terms) != 1:
+        raise ValueError(
+            f"prox does not have a single term:\n"
+            f"{text_format.format_problem(prox_problem)}")
+    if prox_problem.constraints:
+        raise ValueError("prox has constraints")
+    term = prox_problem.terms[0]
+    if expected_kind is not None and (
+            term.spec.kind != expected_kind or
+            (epigraph is not None and term.spec.epigraph != bool(epigraph))):
+        raise ValueError(
+            f"prox compiled to {term.spec.kind} (epigraph="
+            f"{term.spec.epigraph}), expected {expected_kind}")
+
+    inv_sqrt_lam = 1.0 / np.sqrt(lam)
+    A = BlockMatrix()
+    v = BlockVector()
+    tvars = sorted({c for (_, c) in term.H.A.blocks})
+    var_objs: Dict[str, api.Variable] = {}
+    api.expr_var_objects(problem.objective, var_objs)
+    for i, vid in enumerate(tvars):
+        n = prox_problem.var_dims[vid]
+        A.insert(f"c{i}", vid, linop.scalar(inv_sqrt_lam, n))
+    op = create_prox_operator(term.spec, term.H,
+                              AffineOperator(A, BlockVector()))
+    for i, vid in enumerate(tvars):
+        var = var_objs.get(vid)
+        n = prox_problem.var_dims[vid]
+        if var is not None and var in v_map:
+            val = linop.vec(np.asarray(v_map[var], dtype=float))
+        else:
+            val = np.zeros(n)
+        v[f"c{i}"] = jnp.asarray(inv_sqrt_lam * val)
+
+    x = op.apply(v)
+    for vid, var in var_objs.items():
+        if vid in x:
+            var.value = linop.mat(np.asarray(x[vid]), var.size)
+    return {vid: np.asarray(val) for vid, val in x.items()}

@@ -105,6 +105,10 @@ class LinOp(abc.ABC):
         via matvec-free dense fallback; subclasses override."""
         return jnp.stack([self.matvec(X[:, i]) for i in range(X.shape[1])], axis=1)
 
+    def host_matvec(self, x: np.ndarray) -> np.ndarray:
+        """Apply to a concrete numpy vector on the host (compile-time use)."""
+        return self.as_dense() @ np.asarray(x)
+
     # -- host-side representations ----------------------------------------
     @abc.abstractmethod
     def as_dense(self) -> np.ndarray:
@@ -210,6 +214,9 @@ class ScalarOp(LinOp):
     def matmat(self, X):
         return self.matvec(X)
 
+    def host_matvec(self, x):
+        return self.alpha * np.asarray(x)
+
     def as_dense(self):
         return self.alpha * np.eye(self.n, dtype=_dtype())
 
@@ -257,6 +264,9 @@ class DiagonalOp(LinOp):
 
     def matmat(self, X):
         return self._device_d()[:, None] * X
+
+    def host_matvec(self, x):
+        return self.d * np.asarray(x)
 
     def as_dense(self):
         return np.diag(self.d)
@@ -310,6 +320,9 @@ class DenseOp(LinOp):
     def matmat(self, X):
         return self._device_A() @ X
 
+    def host_matvec(self, x):
+        return self.A @ np.asarray(x)
+
     def as_dense(self):
         return self.A
 
@@ -361,6 +374,9 @@ class SparseOp(LinOp):
     def matmat(self, X):
         kind, A = self._freeze()
         return A @ X
+
+    def host_matvec(self, x):
+        return self.A @ np.asarray(x)
 
     def as_dense(self):
         return self.A.toarray()
@@ -424,6 +440,14 @@ class KronOp(LinOp):
     def matmat(self, X):
         cols = [self.matvec(X[:, i]) for i in range(X.shape[1])]
         return jnp.stack(cols, axis=1)
+
+    def host_matvec(self, x):
+        X = mat(np.asarray(x), (self.B.n, self.A.n))
+        BX = np.stack([self.B.host_matvec(X[:, j]) for j in range(X.shape[1])],
+                      axis=1)
+        Y = np.stack([self.A.host_matvec(BX[i, :]) for i in range(BX.shape[0])],
+                     axis=0)
+        return vec(Y)
 
     def as_dense(self):
         return np.kron(self.A.as_dense(), self.B.as_dense())
