@@ -369,21 +369,38 @@ def _vector_rule(kind, extract, **spec_kw):
         if out is None:
             return MatchResult(False)
         arg, extra = out if isinstance(out, tuple) else (out, {})
+        kw = {**spec_kw, **extra}
+        axis = kw.pop("axis", e.attr.get("axis"))
         fold, _, constrs = convert_scalar(arg)
         spec = ProxFunctionSpec(kind=kind, arg_sizes=[_dims(arg)],
-                                axis=e.attr.get("axis"), **{**spec_kw, **extra})
+                                axis=axis, **kw)
         return MatchResult(True, PendingTerm(spec, [fold]), constrs)
     return rule
 
 
+def _axis_reduction_extract(inner_type):
+    """Match either the bare vector atom (scalar output) or
+    SUM(atom(axis=k)) — the separable axis-mode form batched by vmap in the
+    operator layer (replaces the reference's serial axis loop,
+    ``vector_prox.cc:147-183``)."""
+    def extract(e):
+        if e.expr_type == inner_type:
+            # bare atom: vector form (axis None) or axis form (epigraph use,
+            # prox.py:333-350 has_axis)
+            return e.args[0], {"axis": e.attr.get("axis")}
+        if (e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
+                e.args[0].expr_type == inner_type and
+                e.args[0].attr.get("axis") is not None):
+            return e.args[0].args[0], {"axis": e.args[0].attr["axis"]}
+        return None
+    return extract
+
+
 prox_log_sum_exp = _vector_rule(
-    ProxKind.LOG_SUM_EXP,
-    lambda e: e.args[0] if e.expr_type == ExprType.LOG_SUM_EXP else None)
+    ProxKind.LOG_SUM_EXP, _axis_reduction_extract(ExprType.LOG_SUM_EXP))
 
 prox_max = _vector_rule(
-    ProxKind.MAX,
-    lambda e: e.args[0] if (e.expr_type == ExprType.MAX_ENTRIES and
-                            e.attr.get("axis") is None) else None)
+    ProxKind.MAX, _axis_reduction_extract(ExprType.MAX_ENTRIES))
 
 prox_norm_2 = _vector_rule(
     ProxKind.NORM_2,

@@ -18,7 +18,8 @@ from . import expression as ex
 from .expression import Expression, ExprType
 
 __all__ = [
-    "Variable", "Minimize", "Maximize", "Problem",
+    "Variable", "Parameter", "Minimize", "Maximize", "Problem",
+    "scalar_constant",
     # atoms
     "abs", "square", "sqrt", "power", "exp", "log", "entr", "logistic",
     "huber", "kl_div", "pos", "neg",
@@ -27,8 +28,11 @@ __all__ = [
     "max_entries", "min_entries", "log_sum_exp", "sum_largest", "geo_mean",
     "quad_over_lin", "matrix_frac", "lambda_max", "lambda_min", "log_det",
     "sigma_max", "trace", "diag", "reshape", "hstack", "vstack", "vec",
-    "kron", "upper_tri", "transpose", "tv", "total_variation",
+    "kron", "upper_tri", "transpose", "tv", "total_variation", "tv2",
 ]
+
+
+scalar_constant = ex.scalar_constant
 
 
 def _wrap(value) -> Expression:
@@ -378,3 +382,20 @@ def tv(x):
 
 
 total_variation = tv
+
+
+def tv2(*args):
+    """Isotropic 2-D (multi-channel) total variation, the cvxpy ``tv``
+    semantics for matrix arguments used by tv_denoise
+    (``problems/tv_denoise.py:16``): sum over pixels of the l2 norm of the
+    stacked forward differences of every channel."""
+    args = [_wrap(a) for a in args]
+    m, n = args[0].size
+    diffs = []
+    for Xc in args:
+        dx = ex.add(ex.index(Xc, 1, m, 0, n - 1),
+                    ex.negate(ex.index(Xc, 0, m - 1, 0, n - 1)))
+        dy = ex.add(ex.index(Xc, 0, m - 1, 1, n),
+                    ex.negate(ex.index(Xc, 0, m - 1, 0, n - 1)))
+        diffs += [ex.reshape(dx, dx.dim, 1), ex.reshape(dy, dy.dim, 1)]
+    return ex.sum_entries(ex.norm_2_elementwise(*diffs))

@@ -172,19 +172,30 @@ class VectorProxOperator(ProxOperator):
         lam = self.lam
 
         if spec.epigraph:
-            # last arg is the scalar t; leading args feed the kernel
-            s = vals[-1][0]
             epi = entry.epi or epigraph_via_bisection(spec.kind)
             if entry.matrix:
+                s = vals[-1][0]
                 m, n = spec.arg_sizes[0]
                 V = linop.jmat(vals[0], (m, n))
                 X, t = epi(V, s, **p)
                 return [linop.jvec(X), jnp.reshape(t, (1,))]
             if entry.nargs == 2:
+                s = vals[-1][0]
                 x, y, t = epi((vals[0], vals[1]), s, **p)
                 return [x, y, jnp.reshape(t, (1,))]
             if spec.axis is not None:
-                raise NotImplementedError("axis-mode epigraph")
+                # per-slice epigraph projection: vmap the (vector, scalar)
+                # kernel over rows/cols (vector_prox.cc:147-183 axis mode)
+                m, n = spec.arg_sizes[0]
+                V = linop.jmat(vals[0], (m, n))
+                s = vals[-1]
+                kern = lambda v, si: epi(v, si, **p)
+                if spec.axis == 0:
+                    X, t = jax.vmap(kern, in_axes=(1, 0), out_axes=(1, 0))(V, s)
+                else:
+                    X, t = jax.vmap(kern, in_axes=(0, 0), out_axes=(0, 0))(V, s)
+                return [linop.jvec(X), t]
+            s = vals[-1][0]
             x, t = epi(vals[0], s, **p)
             return [x, jnp.reshape(t, (1,))]
 

@@ -1,0 +1,36 @@
+"""MNIST-style multiclass classification with random-Fourier features
+(``problems/mnist.py:46-63``).  Data is synthesized (class-conditional
+Gaussians) so the generator has no external data dependencies; the model
+structure (kitchen-sink features + multiclass softmax + elementwise l1)
+matches the reference benchmark.
+"""
+
+import numpy as np
+
+import epsilon_tpu as ep
+
+
+def _synthetic_digits(m, dim=50, k=10, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, dim) * 2
+    y = rng.randint(0, k, m)
+    X = centers[y] + rng.randn(m, dim)
+    return X, y
+
+
+def kitchen_sink_features(X, n, sigma=None, seed=1):
+    """Random Fourier features for the RBF kernel (``mnist.py:46-54``)."""
+    rng = np.random.RandomState(seed)
+    d = X.shape[1]
+    if sigma is None:
+        sigma = np.sqrt(d)
+    W = rng.randn(d, n) / sigma
+    b = rng.uniform(0, 2 * np.pi, n)
+    return np.sqrt(2.0 / n) * np.cos(X.dot(W) + b)
+
+def create(m=200, n=100, k=10, lam=0.1):
+    X, y = _synthetic_digits(m, k=k)
+    F = kitchen_sink_features(X, n)
+    Theta = ep.Variable(n, k)
+    f = ep.softmax_loss(Theta, F, y) + lam * ep.norm1(ep.vec(Theta))
+    return ep.Problem(ep.Minimize(f))

@@ -1,0 +1,73 @@
+"""Problem-library tests: all 27 generators compile; a sample solves E2E
+(mirrors problems/benchmark_test.py smoke-run)."""
+
+import numpy as np
+import pytest
+
+import epsilon_tpu as ep
+from epsilon_tpu import problems as P
+from epsilon_tpu.compiler import compile_problem
+
+GENERATORS = [
+    ("lasso", lambda: P.lasso.create(m=15, n=8)),
+    ("mv_lasso", lambda: P.mv_lasso.create(m=15, n=8, k=3)),
+    ("sparse_lasso", lambda: P.sparse_lasso.create(m=15, n=8)),
+    ("logreg_l1", lambda: P.logreg_l1.create(m=15, n=8)),
+    ("hinge_l1", lambda: P.hinge_l1.create(m=15, n=8)),
+    ("hinge_l2", lambda: P.hinge_l2.create(m=15, n=8)),
+    ("hinge", lambda: P.hinge.create(m=15, n=8)),
+    ("basis_pursuit", lambda: P.basis_pursuit.create(8, 20)),
+    ("least_abs_dev", lambda: P.least_abs_dev.create(15, 6)),
+    ("lp", lambda: P.lp.create(8, 12)),
+    ("qp", lambda: P.qp.create(8)),
+    ("chebyshev", lambda: P.chebyshev.create(m=10, n=6)[0]),
+    ("covsel", lambda: P.covsel.create(10, 10, 0.1)),
+    ("fused_lasso", lambda: P.fused_lasso.create(10, 4, 3)),
+    ("group_lasso", lambda: P.group_lasso.create(10, 4, 3)),
+    ("huber", lambda: P.huber.create(12, 6)),
+    ("infinite_push", lambda: P.infinite_push.create(6, 6, 4)[0]),
+    ("max_gaussian", lambda: P.max_gaussian.create(m=8, n=4, k=3)[0]),
+    ("max_softmax", lambda: P.max_softmax.create(k=3, m=8, n=4)[0]),
+    ("oneclass_svm", lambda: P.oneclass_svm.create(10, 4)[0]),
+    ("portfolio", lambda: P.portfolio.create(5, 10)),
+    ("quantile", lambda: P.quantile.create(10, 4, 3)),
+    ("robust_pca", lambda: P.robust_pca.create(6)),
+    ("robust_svm", lambda: P.robust_svm.create(10, 5)[0]),
+    ("tv_1d", lambda: P.tv_1d.create(20)),
+    ("tv_denoise", lambda: P.tv_denoise.create(6, 1.0)),
+    ("mnist", lambda: P.mnist.create(m=20, n=10, k=3)),
+]
+
+
+@pytest.mark.parametrize("name,factory", GENERATORS,
+                         ids=[g[0] for g in GENERATORS])
+def test_compiles(name, factory):
+    np.random.seed(0)
+    prob = factory()
+    p = compile_problem(prob.expression_problem())
+    assert p.terms
+
+
+@pytest.mark.parametrize("name", ["lasso", "least_abs_dev", "qp", "portfolio",
+                                  "tv_1d", "huber"])
+def test_solves(name):
+    np.random.seed(0)
+    factory = dict(GENERATORS)[name]
+    prob = factory()
+    obj = prob.solve(rel_tol=1e-3, abs_tol=1e-5, max_iterations=4000)
+    assert np.isfinite(obj)
+
+
+def test_benchmark_harness_smoke(capsys):
+    """Smoke-run the benchmark driver on one tiny instance
+    (benchmark_test.py:8-11)."""
+    from epsilon_tpu.problems import benchmark
+    inst = benchmark.ProblemInstance(
+        "lasso", P.lasso.create, dict(m=10, n=6))
+    results = benchmark.run_benchmarks([inst], rel_tol=1e-2,
+                                       max_iterations=500)
+    assert len(results) == 1 and "error" not in results[0]
+    out = benchmark.format_table(results, "text")
+    assert "lasso" in out
+    assert "table" in benchmark.format_table(results, "html")
+    assert "tabular" in benchmark.format_table(results, "latex")
