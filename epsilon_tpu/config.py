@@ -28,6 +28,23 @@ SPARSE_DENSIFY_DENSITY = float(os.environ.get("EPSILON_TPU_DENSIFY_DENSITY", "0.
 SPARSE_DENSIFY_MAX_ELEMS = int(os.environ.get("EPSILON_TPU_DENSIFY_MAX_ELEMS", str(64 * 1024 * 1024)))
 
 
+# How cached factorizations apply their solves on device:
+#   "triangular" - cho/lu triangular solves (accurate; fast on CPU)
+#   "inverse"    - explicit inverse computed host-side in f64, applied as a
+#                  dense matmul (MXU-native; TPUs have no fast triangular
+#                  solve, which otherwise serializes the hot loop)
+#   "auto"       - "inverse" on TPU backends, "triangular" on CPU
+FACTOR_SOLVE_MODE = os.environ.get("EPSILON_TPU_FACTOR_SOLVE", "auto")
+
+
+def use_explicit_inverse() -> bool:
+    if FACTOR_SOLVE_MODE == "inverse":
+        return True
+    if FACTOR_SOLVE_MODE == "triangular":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def x64_enabled() -> bool:
     return bool(jax.config.read("jax_enable_x64"))
 

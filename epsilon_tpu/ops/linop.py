@@ -27,6 +27,7 @@ import numpy as np
 import scipy.linalg
 import scipy.sparse as sp
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsla
 
@@ -72,6 +73,26 @@ def jmat(x, shape: Tuple[int, int]):
 
 def _dtype():
     return config.default_np_dtype()
+
+
+def _to_device(host_array):
+    """numpy -> jnp for use inside traced code. Returns a constant; safe to
+    call under jit (constants dedupe by array identity)."""
+    return jnp.asarray(host_array)
+
+
+def _cached_device(obj, attr, make):
+    """Cache a device value on obj.attr, but never cache tracers (a cached
+    tracer would leak into later traces and poison recompiles)."""
+    val = getattr(obj, attr)
+    if val is not None:
+        return val
+    val = make()
+    import jax.core as _core
+    leaf = jax.tree_util.tree_leaves(val)
+    if not any(isinstance(l, _core.Tracer) for l in leaf):
+        setattr(obj, attr, val)
+    return val
 
 
 # ---------------------------------------------------------------------------
@@ -255,9 +276,7 @@ class DiagonalOp(LinOp):
         self._jd = None
 
     def _device_d(self):
-        if self._jd is None:
-            self._jd = jnp.asarray(self.d)
-        return self._jd
+        return _cached_device(self, "_jd", lambda: _to_device(self.d))
 
     def matvec(self, x):
         return self._device_d() * x
@@ -310,9 +329,7 @@ class DenseOp(LinOp):
         self._jA = None
 
     def _device_A(self):
-        if self._jA is None:
-            self._jA = jnp.asarray(self.A)
-        return self._jA
+        return _cached_device(self, "_jA", lambda: _to_device(self.A))
 
     def matvec(self, x):
         return self._device_A() @ x
@@ -351,21 +368,19 @@ class SparseOp(LinOp):
         self._frozen = None
 
     def _freeze(self):
-        if self._frozen is None:
+        def make():
             m, n = self.shape
             density = self.A.nnz / max(1, m * n)
             if (m * n <= config.SPARSE_DENSIFY_MAX_ELEMS
                     and density >= config.SPARSE_DENSIFY_DENSITY) or m * n <= 65536:
-                self._frozen = ("dense", jnp.asarray(self.A.toarray()))
-            else:
-                from jax.experimental import sparse as jsparse
-                coo = self.A.tocoo()
-                indices = np.stack([coo.row, coo.col], axis=1)
-                bcoo = jsparse.BCOO(
-                    (jnp.asarray(coo.data), jnp.asarray(indices)),
-                    shape=self.shape)
-                self._frozen = ("bcoo", bcoo)
-        return self._frozen
+                return ("dense", _to_device(self.A.toarray()))
+            from jax.experimental import sparse as jsparse
+            coo = self.A.tocoo()
+            indices = np.stack([coo.row, coo.col], axis=1)
+            bcoo = jsparse.BCOO(
+                (_to_device(coo.data), _to_device(indices)), shape=self.shape)
+            return ("bcoo", bcoo)
+        return _cached_device(self, "_frozen", make)
 
     def matvec(self, x):
         kind, A = self._freeze()
@@ -490,25 +505,38 @@ class CholFactorOp(LinOp):
     (``dense_matrix_impl.cc:90-99``, ``sparse_matrix_impl.cc:60-74``)."""
 
     def __init__(self, M: np.ndarray):
-        M = np.asarray(M, dtype=_dtype())
+        M = np.asarray(M, dtype=np.float64)
         self.L = scipy.linalg.cholesky(M, lower=True)
         self.shape = M.shape
         self._jL = None
+        self._jinv = None
 
     def _device_L(self):
-        if self._jL is None:
-            self._jL = jnp.asarray(self.L)
-        return self._jL
+        return _cached_device(self, "_jL",
+                              lambda: _to_device(self.L.astype(_dtype())))
+
+    def _device_inv(self):
+        # explicit inverse (host f64) applied as an MXU matmul; TPUs have no
+        # fast triangular solve
+        return _cached_device(
+            self, "_jinv", lambda: _to_device(self.as_dense().astype(_dtype())))
 
     def matvec(self, x):
+        if config.use_explicit_inverse():
+            return self._device_inv() @ x
         return jsla.cho_solve((self._device_L(), True), x)
 
     def matmat(self, X):
+        if config.use_explicit_inverse():
+            return self._device_inv() @ X
         return jsla.cho_solve((self._device_L(), True), X)
+
+    def host_matvec(self, x):
+        return scipy.linalg.cho_solve((self.L, True), np.asarray(x))
 
     def as_dense(self):
         n = self.shape[0]
-        return scipy.linalg.cho_solve((self.L, True), np.eye(n, dtype=_dtype()))
+        return scipy.linalg.cho_solve((self.L, True), np.eye(n))
 
     @property
     def T(self):
@@ -527,12 +555,13 @@ class LuFactorOp(LinOp):
     block LDL^T (the reference uses Eigen LDLT, ``lapack.h:5-13``)."""
 
     def __init__(self, M: np.ndarray, transposed: bool = False):
-        M = np.asarray(M, dtype=_dtype())
+        M = np.asarray(M, dtype=np.float64)
         self._M = M
         self.lu, self.piv = scipy.linalg.lu_factor(M)
         self.shape = M.shape
         self.transposed = transposed
         self._jlu = None
+        self._jinv = None
 
     @classmethod
     def symmetric(cls, M: np.ndarray) -> "LuFactorOp":
@@ -541,17 +570,29 @@ class LuFactorOp(LinOp):
         return op
 
     def _device_lu(self):
-        if self._jlu is None:
-            self._jlu = (jnp.asarray(self.lu), jnp.asarray(self.piv))
-        return self._jlu
+        return _cached_device(
+            self, "_jlu", lambda: (_to_device(self.lu.astype(_dtype())),
+                                   _to_device(self.piv)))
+
+    def _device_inv(self):
+        return _cached_device(
+            self, "_jinv", lambda: _to_device(self.as_dense().astype(_dtype())))
 
     def matvec(self, x):
+        if config.use_explicit_inverse():
+            return self._device_inv() @ x
         lu, piv = self._device_lu()
         return jsla.lu_solve((lu, piv), x, trans=1 if self.transposed else 0)
 
     def matmat(self, X):
+        if config.use_explicit_inverse():
+            return self._device_inv() @ X
         lu, piv = self._device_lu()
         return jsla.lu_solve((lu, piv), X, trans=1 if self.transposed else 0)
+
+    def host_matvec(self, x):
+        return scipy.linalg.lu_solve((self.lu, self.piv), np.asarray(x),
+                                     trans=1 if self.transposed else 0)
 
     def as_dense(self):
         M = self._M.T if self.transposed else self._M

@@ -66,6 +66,7 @@ class SolverBase:
         self.params = params
         self.status = SolverStatus()
         self._warm_state = None
+        self._compiled_key = None
 
     def objective_value(self, x: BlockVector):
         return problem_objective(self.problem, x)
@@ -184,6 +185,12 @@ class ProxADMMTwoBlockSolver(SolverBase):
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
 
         if self.params.drive == "device":
+            if self._compiled is None or self._compiled_key != (
+                    max_epochs, epoch_iters, self.params.rel_tol,
+                    self.params.abs_tol):
+                self._compiled_key = (max_epochs, epoch_iters,
+                                      self.params.rel_tol, self.params.abs_tol)
+                self._compiled = None
             if self._compiled is None:
                 @jax.jit
                 def run(state):
@@ -339,6 +346,12 @@ class ProxADMMSolver(SolverBase):
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
 
         if self.params.drive == "device":
+            if self._compiled is None or self._compiled_key != (
+                    max_epochs, epoch_iters, self.params.rel_tol,
+                    self.params.abs_tol):
+                self._compiled_key = (max_epochs, epoch_iters,
+                                      self.params.rel_tol, self.params.abs_tol)
+                self._compiled = None
             if self._compiled is None:
                 @jax.jit
                 def run(state):

@@ -1,0 +1,106 @@
+"""Sharded consensus ADMM tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from epsilon_tpu.parallel import (ConsensusADMM, block_mesh,
+                                  consensus_lasso_solver)
+
+
+def _make_lasso_blocks(S, m, n, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(S, m, n)
+    x0 = rng.randn(n) * (rng.rand(n) < 0.3)
+    b = np.einsum("smn,n->sm", A, x0) + 0.05 * rng.randn(S, m)
+    return A, b, x0
+
+
+def _full_objective(A, b, lam, x):
+    r = np.einsum("smn,n->sm", A, x) - b
+    return 0.5 * np.sum(r * r) + lam * np.sum(np.abs(x))
+
+
+def _oracle(A, b, lam):
+    from sklearn.linear_model import Lasso
+    S, m, n = A.shape
+    A_full = A.reshape(S * m, n)
+    b_full = b.reshape(S * m)
+    model = Lasso(alpha=lam / (S * m), fit_intercept=False, tol=1e-12,
+                  max_iter=200000)
+    model.fit(A_full, b_full)
+    return model.coef_
+
+
+def test_consensus_lasso_single_device():
+    S, m, n = 8, 20, 10
+    A, b, _ = _make_lasso_blocks(S, m, n)
+    lam = 1.0
+    solver = consensus_lasso_solver(A, b, lam, rho=1.0, rel_tol=1e-6,
+                                    abs_tol=1e-9, max_iterations=20000)
+    res = solver.solve()
+    assert res.converged
+    x = np.asarray(res.z)
+    x_o = _oracle(A, b, lam)
+    assert _full_objective(A, b, lam, x) <= \
+        _full_objective(A, b, lam, x_o) * (1 + 1e-4) + 1e-6
+
+
+def test_consensus_lasso_sharded_matches_single():
+    S, m, n = 8, 15, 6
+    A, b, _ = _make_lasso_blocks(S, m, n, seed=1)
+    lam = 0.5
+
+    single = consensus_lasso_solver(A, b, lam, rel_tol=1e-7, abs_tol=1e-10,
+                                    max_iterations=20000)
+    res_single = single.solve()
+
+    mesh = block_mesh()
+    assert mesh.devices.size == 8
+    sharded = consensus_lasso_solver(A, b, lam, mesh=mesh, rel_tol=1e-7,
+                                     abs_tol=1e-10, max_iterations=20000)
+    res_sharded = sharded.solve()
+
+    np.testing.assert_allclose(np.asarray(res_sharded.z),
+                               np.asarray(res_single.z), atol=1e-7)
+    assert res_sharded.converged
+
+
+def test_consensus_generic_ridge():
+    """Consensus with smooth local terms only (g = 0)."""
+    S, m, n = 4, 10, 5
+    rng = np.random.RandomState(2)
+    A = rng.randn(S, m, n)
+    b = rng.randn(S, m)
+    rho = 1.0
+
+    AtA = np.einsum("smi,smj->sij", A, A)
+    Atb = np.einsum("smi,sm->si", A, b)
+    L = np.linalg.cholesky(AtA + rho * np.eye(n))
+    data = {"L": jnp.asarray(L), "Atb": jnp.asarray(Atb)}
+
+    def local_prox(v, d):
+        import jax.scipy.linalg as jsla
+        y = jsla.solve_triangular(d["L"], d["Atb"] + rho * v, lower=True)
+        return jsla.solve_triangular(d["L"].T, y, lower=False)
+
+    solver = ConsensusADMM(local_prox, lambda v: v, data, S, n, rho=rho,
+                           rel_tol=1e-8, abs_tol=1e-11, max_iterations=20000)
+    res = solver.solve()
+    # oracle: global least squares
+    A_full = A.reshape(S * m, n)
+    b_full = b.reshape(S * m)
+    x_o = np.linalg.lstsq(A_full, b_full, rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(res.z), x_o, atol=1e-5)
+
+
+def test_mesh_on_subset():
+    mesh = block_mesh(4)
+    assert mesh.devices.size == 4
+    S, m, n = 8, 10, 4
+    A, b, _ = _make_lasso_blocks(S, m, n, seed=3)
+    solver = consensus_lasso_solver(A, b, 0.3, mesh=mesh, rel_tol=1e-5,
+                                    abs_tol=1e-8, max_iterations=10000)
+    res = solver.solve()
+    assert res.converged
