@@ -1,0 +1,1 @@
+from .timing import cpu_time, profile_trace, wall_time_usec  # noqa: F401
