@@ -36,11 +36,13 @@ def bench_tpu(A, b, lam, iters=2000):
     prob = ep.Problem(ep.Minimize(
         0.5 * ep.sum_squares(ep._wrap(A) * x - b) + lam * ep.norm1(x)))
 
-    # fixed-iteration timing: disable convergence checks
-    common = dict(rel_tol=0.0, abs_tol=0.0, epoch_iterations=100)
-    prob.solve(max_iterations=200, **common)  # compile + warm up
+    # fixed-iteration timing: disable convergence checks; first call
+    # compiles, second measures steady-state
+    common = dict(rel_tol=0.0, abs_tol=0.0, epoch_iterations=100,
+                  max_iterations=iters, warm_start=True)
+    prob.solve(**common)  # compile + warm up
     t0 = time.time()
-    prob.solve(max_iterations=iters, warm_start=True, **common)
+    prob.solve(**common)
     elapsed = time.time() - t0
     st = prob.solver_status
     ips = st.num_iterations / elapsed

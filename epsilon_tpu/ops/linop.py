@@ -75,15 +75,89 @@ def _dtype():
     return config.default_np_dtype()
 
 
+class _ConstLifter:
+    """Constant lifting: turn the host arrays frozen inside LinOps into jit
+    *arguments* instead of HLO constants.
+
+    Embedding multi-MB problem data as XLA constants makes compiles very
+    slow (the whole payload rides the HLO through the compiler) and bloats
+    executables.  Solvers instead (1) trace once in "collect" mode to record
+    every host array touched, then (2) trace the real jit with the arrays
+    passed as a pytree argument, "apply" mode substituting the traced
+    arguments at the same program points.
+    """
+
+    def __init__(self):
+        self.mode = None
+        self.arrays = []     # host arrays in first-touch order
+        self.index = {}      # id(host) -> position
+        self.args = None     # traced substitutes (apply mode)
+
+    def device_args(self):
+        return [jnp.asarray(a) for a in self.arrays]
+
+
+_LIFTER: "_ConstLifter | None" = None
+
+
+class lift_collect:
+    def __init__(self):
+        self.lifter = _ConstLifter()
+        self.lifter.mode = "collect"
+
+    def __enter__(self):
+        global _LIFTER
+        assert _LIFTER is None, "constant lifting is not reentrant"
+        _LIFTER = self.lifter
+        return self.lifter
+
+    def __exit__(self, *exc):
+        global _LIFTER
+        _LIFTER = None
+        return False
+
+
+class lift_apply:
+    def __init__(self, lifter: _ConstLifter, args):
+        self.lifter = lifter
+        self.args = args
+
+    def __enter__(self):
+        global _LIFTER
+        assert _LIFTER is None, "constant lifting is not reentrant"
+        self.lifter.mode = "apply"
+        self.lifter.args = self.args
+        _LIFTER = self.lifter
+
+    def __exit__(self, *exc):
+        global _LIFTER
+        _LIFTER = None
+        self.lifter.args = None
+        return False
+
+
 def _to_device(host_array):
-    """numpy -> jnp for use inside traced code. Returns a constant; safe to
-    call under jit (constants dedupe by array identity)."""
+    """numpy -> jnp for use inside traced code; participates in constant
+    lifting when a lifter context is active."""
+    if _LIFTER is not None:
+        key = id(host_array)
+        if _LIFTER.mode == "collect":
+            if key not in _LIFTER.index:
+                _LIFTER.index[key] = len(_LIFTER.arrays)
+                _LIFTER.arrays.append(host_array)
+            return jnp.asarray(host_array)
+        if key in _LIFTER.index:
+            return _LIFTER.args[_LIFTER.index[key]]
+        # array not seen during collect (shouldn't happen; fall through)
     return jnp.asarray(host_array)
 
 
 def _cached_device(obj, attr, make):
     """Cache a device value on obj.attr, but never cache tracers (a cached
-    tracer would leak into later traces and poison recompiles)."""
+    tracer would leak into later traces and poison recompiles), and bypass
+    the cache entirely while constant lifting is active."""
+    if _LIFTER is not None:
+        return make()
     val = getattr(obj, attr)
     if val is not None:
         return val
@@ -367,18 +441,27 @@ class SparseOp(LinOp):
         self.shape = self.A.shape
         self._frozen = None
 
-    def _freeze(self):
-        def make():
+    def _host_frozen(self):
+        if getattr(self, "_hfrozen", None) is None:
             m, n = self.shape
             density = self.A.nnz / max(1, m * n)
             if (m * n <= config.SPARSE_DENSIFY_MAX_ELEMS
                     and density >= config.SPARSE_DENSIFY_DENSITY) or m * n <= 65536:
-                return ("dense", _to_device(self.A.toarray()))
+                self._hfrozen = ("dense", self.A.toarray())
+            else:
+                coo = self.A.tocoo()
+                self._hfrozen = ("bcoo", coo.data,
+                                 np.stack([coo.row, coo.col], axis=1))
+        return self._hfrozen
+
+    def _freeze(self):
+        def make():
+            hf = self._host_frozen()
+            if hf[0] == "dense":
+                return ("dense", _to_device(hf[1]))
             from jax.experimental import sparse as jsparse
-            coo = self.A.tocoo()
-            indices = np.stack([coo.row, coo.col], axis=1)
-            bcoo = jsparse.BCOO(
-                (_to_device(coo.data), _to_device(indices)), shape=self.shape)
+            bcoo = jsparse.BCOO((_to_device(hf[1]), _to_device(hf[2])),
+                                shape=self.shape)
             return ("bcoo", bcoo)
         return _cached_device(self, "_frozen", make)
 
@@ -511,15 +594,24 @@ class CholFactorOp(LinOp):
         self._jL = None
         self._jinv = None
 
+    def _host_L(self):
+        if getattr(self, "_hL", None) is None or self._hL.dtype != _dtype():
+            self._hL = self.L.astype(_dtype())
+        return self._hL
+
     def _device_L(self):
-        return _cached_device(self, "_jL",
-                              lambda: _to_device(self.L.astype(_dtype())))
+        return _cached_device(self, "_jL", lambda: _to_device(self._host_L()))
 
     def _device_inv(self):
         # explicit inverse (host f64) applied as an MXU matmul; TPUs have no
         # fast triangular solve
-        return _cached_device(
-            self, "_jinv", lambda: _to_device(self.as_dense().astype(_dtype())))
+        return _cached_device(self, "_jinv",
+                              lambda: _to_device(self._host_inv()))
+
+    def _host_inv(self):
+        if getattr(self, "_hinv", None) is None or self._hinv.dtype != _dtype():
+            self._hinv = self.as_dense().astype(_dtype())
+        return self._hinv
 
     def matvec(self, x):
         if config.use_explicit_inverse():
@@ -569,14 +661,24 @@ class LuFactorOp(LinOp):
         op.transposed = False
         return op
 
+    def _host_lu(self):
+        if getattr(self, "_hlu", None) is None or self._hlu.dtype != _dtype():
+            self._hlu = self.lu.astype(_dtype())
+        return self._hlu
+
     def _device_lu(self):
         return _cached_device(
-            self, "_jlu", lambda: (_to_device(self.lu.astype(_dtype())),
+            self, "_jlu", lambda: (_to_device(self._host_lu()),
                                    _to_device(self.piv)))
 
+    def _host_inv(self):
+        if getattr(self, "_hinv", None) is None or self._hinv.dtype != _dtype():
+            self._hinv = self.as_dense().astype(_dtype())
+        return self._hinv
+
     def _device_inv(self):
-        return _cached_device(
-            self, "_jinv", lambda: _to_device(self.as_dense().astype(_dtype())))
+        return _cached_device(self, "_jinv",
+                              lambda: _to_device(self._host_inv()))
 
     def matvec(self, x):
         if config.use_explicit_inverse():

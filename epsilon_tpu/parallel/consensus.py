@@ -117,10 +117,16 @@ class ConsensusADMM:
 
     def _epoch(self, data, state):
         x, u, z = state
-        stats = None
         z_prev = z
-        for _ in range(self.epoch_iterations):
-            x, u, z, stats = self._local_step(data, x, u, z)
+        zero = jnp.zeros((), dtype=z.dtype)
+
+        def body(_, carry):
+            x, u, z, _stats = carry
+            return self._local_step(data, x, u, z)
+
+        x, u, z, stats = jax.lax.fori_loop(
+            0, self.epoch_iterations, body,
+            (x, u, z, (zero, zero, zero)))
         r_sq, x_sq, u_sq = stats
         r_norm = jnp.sqrt(r_sq)
         s_norm = self.rho * jnp.sqrt(jnp.asarray(self.S, z.dtype)) \

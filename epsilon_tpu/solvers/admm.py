@@ -31,6 +31,7 @@ from .. import config
 from ..ir import (AffineOperator, Cone, ProxFunctionSpec, ProxKind,
                   ProxProblem, ProxTerm, arg_key, constraint_key)
 from ..ops import linop
+from ..ops.linop import lift_apply, lift_collect
 from ..ops.block import BlockMatrix, BlockVector
 from ..ops.prox.operator import create_prox_operator
 from .objective import problem_objective
@@ -67,9 +68,27 @@ class SolverBase:
         self.status = SolverStatus()
         self._warm_state = None
         self._compiled_key = None
+        self._stop_callbacks = []
+
+    def register_stop_callback(self, cb):
+        """External cancellation hook (``solver.h:60-63``,
+        ``solver.cc:102-107``): checked between epochs in host drive."""
+        self._stop_callbacks.append(cb)
+
+    def _has_external_stop(self) -> bool:
+        return any(cb() for cb in self._stop_callbacks)
 
     def objective_value(self, x: BlockVector):
         return problem_objective(self.problem, x)
+
+    def _lift_constants(self, state):
+        """Record every frozen host array the epoch touches and return the
+        (lifter, device_args) pair: problem data is passed to jit as
+        arguments, not baked into the HLO as constants (keeps compiles fast
+        and allows data updates without recompilation)."""
+        with lift_collect() as lifter:
+            jax.eval_shape(self._epoch, state)
+        return lifter, lifter.device_args()
 
     def _finish(self, state, iters, res, converged, t_init, t_solve):
         self.status.num_iterations = int(iters)
@@ -133,6 +152,13 @@ class ProxADMMTwoBlockSolver(SolverBase):
             self.term_ops.append(op)
             self.term_vars.append(tvars)
 
+        # All state vectors live on a fixed key set (term vars + constraint
+        # vars) so loop carries keep a stable pytree structure.
+        self.all_dims: Dict[str, int] = dict(self.z_dims)
+        for tvars in self.term_vars:
+            for v in tvars:
+                self.all_dims[v] = problem.var_dims[v]
+
         self._t_init = time.time() - t0
         self._compiled = None
 
@@ -140,13 +166,17 @@ class ProxADMMTwoBlockSolver(SolverBase):
     def _iter_body(self, state):
         z, u = state
         zu = z - u
-        x = BlockVector()
+        x = _zeros(self.all_dims)
         for op in self.term_ops:
             x = x + op.apply(self.sqrt_rho * zu)
+        xu = x + u
         if self.constr_prox is not None:
-            z_new = self.constr_prox.apply(self.sqrt_rho * (x + u))
+            zp = self.constr_prox.apply(self.sqrt_rho * xu)
+            # variables untouched by constraints pass through unprojected
+            z_new = BlockVector({k: (zp[k] if k in zp else xu[k])
+                                 for k in self.all_dims})
         else:
-            z_new = x + u
+            z_new = xu
         u_new = u + x - z_new
         return (z_new, u_new), x
 
@@ -161,12 +191,21 @@ class ProxADMMTwoBlockSolver(SolverBase):
         eps_d = abs_tol * sqrt_n + rel_tol * rho * u.norm()
         return jnp.stack([r_norm, s_norm, eps_p, eps_d])
 
+    def _x_zeros(self):
+        return _zeros(self.all_dims)
+
     def _epoch(self, state):
-        """epoch_iterations sweeps + residuals (traceable)."""
+        """epoch_iterations sweeps + residuals, as a device-side fori_loop
+        (keeps the HLO small: one iteration body, not an unrolled epoch)."""
         z_prev = state[0]
-        x = None
-        for _ in range(self.params.epoch_iterations):
-            state, x = self._iter_body(state)
+
+        def body(_, carry):
+            st, _x = carry
+            st, x = self._iter_body(st)
+            return st, x
+
+        state, x = jax.lax.fori_loop(
+            0, self.params.epoch_iterations, body, (state, self._x_zeros()))
         res = self._residuals(state, x, z_prev)
         conv = (res[0] <= res[2]) & (res[1] <= res[3])
         return state, x, res, conv
@@ -174,8 +213,8 @@ class ProxADMMTwoBlockSolver(SolverBase):
     def _init_state(self):
         if self.params.warm_start and self._warm_state is not None:
             return self._warm_state
-        z = _zeros(self.z_dims)
-        u = _zeros(self.z_dims)
+        z = _zeros(self.all_dims)
+        u = _zeros(self.all_dims)
         return (z, u)
 
     def solve(self) -> BlockVector:
@@ -192,30 +231,44 @@ class ProxADMMTwoBlockSolver(SolverBase):
                                       self.params.rel_tol, self.params.abs_tol)
                 self._compiled = None
             if self._compiled is None:
+                lifter, const_args = self._lift_constants(state)
+
                 @jax.jit
-                def run(state):
-                    def cond(carry):
-                        state, x, it, res, conv = carry
-                        return (~conv) & (it < max_epochs * epoch_iters)
+                def run(state, consts):
+                    with lift_apply(lifter, consts):
+                        def cond(carry):
+                            state, x, it, res, conv = carry
+                            return (~conv) & (it < max_epochs * epoch_iters)
 
-                    def body(carry):
-                        state, _, it, _, _ = carry
-                        state, x, res, conv = self._epoch(state)
-                        return state, x, it + epoch_iters, res, conv
+                        def body(carry):
+                            state, _, it, _, _ = carry
+                            state, x, res, conv = self._epoch(state)
+                            return state, x, it + epoch_iters, res, conv
 
-                    state0, x0, res0, conv0 = self._epoch(state)
-                    carry = (state0, x0, jnp.asarray(epoch_iters), res0, conv0)
-                    return jax.lax.while_loop(cond, body, carry)
+                        state0, x0, res0, conv0 = self._epoch(state)
+                        carry = (state0, x0, jnp.asarray(epoch_iters), res0,
+                                 conv0)
+                        return jax.lax.while_loop(cond, body, carry)
 
-                self._compiled = run
-            state, x, iters, res, conv = self._compiled(state)
+                self._compiled = (run, const_args)
+            run, const_args = self._compiled
+            state, x, iters, res, conv = run(state, const_args)
             x = jax.block_until_ready(x)
         else:
-            epoch_fn = jax.jit(self._epoch)
+            lifter, const_args = self._lift_constants(state)
+
+            def epoch_fn(state, _consts=const_args):
+                return _epoch_jit(state, _consts)
+
+            @jax.jit
+            def _epoch_jit(state, consts):
+                with lift_apply(lifter, consts):
+                    return self._epoch(state)
             iters, conv = 0, False
             x = res = None
             series = []
-            while iters < self.params.max_iterations and not conv:
+            while (iters < self.params.max_iterations and not conv
+                   and not self._has_external_stop()):
                 state, x, res, conv = epoch_fn(state)
                 conv = bool(conv)
                 iters += epoch_iters
@@ -319,11 +372,23 @@ class ProxADMMSolver(SolverBase):
                  + rel_tol * rho * self.AT.apply(u).norm())
         return jnp.stack([r_norm, s_norm, eps_p, eps_d])
 
+    def _xs_zeros(self):
+        out = []
+        for op, term in zip(self.term_ops, self.problem.terms):
+            tvars = sorted({c for (_, c) in term.H.A.blocks})
+            out.append(_zeros({v: self.problem.var_dims[v] for v in tvars}))
+        return tuple(out)
+
     def _epoch(self, state):
         ys_prev = state[1]
-        xs = None
-        for _ in range(self.params.epoch_iterations):
-            state, xs = self._sweep(state)
+
+        def body(_, carry):
+            st, _xs = carry
+            st, xs = self._sweep(st)
+            return st, xs
+
+        state, xs = jax.lax.fori_loop(
+            0, self.params.epoch_iterations, body, (state, self._xs_zeros()))
         res = self._residuals(state, xs, ys_prev)
         conv = (res[0] <= res[2]) & (res[1] <= res[3])
         return state, xs, res, conv
@@ -353,30 +418,44 @@ class ProxADMMSolver(SolverBase):
                                       self.params.rel_tol, self.params.abs_tol)
                 self._compiled = None
             if self._compiled is None:
+                lifter, const_args = self._lift_constants(state)
+
                 @jax.jit
-                def run(state):
-                    def cond(carry):
-                        state, xs, it, res, conv = carry
-                        return (~conv) & (it < max_epochs * epoch_iters)
+                def run(state, consts):
+                    with lift_apply(lifter, consts):
+                        def cond(carry):
+                            state, xs, it, res, conv = carry
+                            return (~conv) & (it < max_epochs * epoch_iters)
 
-                    def body(carry):
-                        state, _, it, _, _ = carry
-                        state, xs, res, conv = self._epoch(state)
-                        return state, xs, it + epoch_iters, res, conv
+                        def body(carry):
+                            state, _, it, _, _ = carry
+                            state, xs, res, conv = self._epoch(state)
+                            return state, xs, it + epoch_iters, res, conv
 
-                    state0, xs0, res0, conv0 = self._epoch(state)
-                    carry = (state0, xs0, jnp.asarray(epoch_iters), res0, conv0)
-                    return jax.lax.while_loop(cond, body, carry)
+                        state0, xs0, res0, conv0 = self._epoch(state)
+                        carry = (state0, xs0, jnp.asarray(epoch_iters), res0,
+                                 conv0)
+                        return jax.lax.while_loop(cond, body, carry)
 
-                self._compiled = run
-            state, xs, iters, res, conv = self._compiled(state)
+                self._compiled = (run, const_args)
+            run, const_args = self._compiled
+            state, xs, iters, res, conv = run(state, const_args)
             xs = jax.block_until_ready(xs)
         else:
-            epoch_fn = jax.jit(self._epoch)
+            lifter, const_args = self._lift_constants(state)
+
+            def epoch_fn(state, _consts=const_args):
+                return _epoch_jit(state, _consts)
+
+            @jax.jit
+            def _epoch_jit(state, consts):
+                with lift_apply(lifter, consts):
+                    return self._epoch(state)
             iters, conv = 0, False
             xs = res = None
             series = []
-            while iters < self.params.max_iterations and not conv:
+            while (iters < self.params.max_iterations and not conv
+                   and not self._has_external_stop()):
                 state, xs, res, conv = epoch_fn(state)
                 conv = bool(conv)
                 iters += epoch_iters
