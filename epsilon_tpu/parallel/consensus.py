@@ -69,7 +69,11 @@ class ConsensusADMM:
                  data, S: int, n: int, rho: float = 1.0,
                  mesh: Optional[Mesh] = None, axis_name: str = "blocks",
                  rel_tol: float = 1e-3, abs_tol: float = 1e-6,
-                 max_iterations: int = 10000, epoch_iterations: int = 10):
+                 max_iterations: int = 10000, epoch_iterations: int = 10,
+                 local_update: Optional[Callable] = None):
+        # optional fused override: (data, x, u, z) -> (x, sum(x+u)); used by
+        # the Pallas-backed consensus lasso path
+        self.local_update = local_update
         self.local_prox = local_prox
         self.global_prox = global_prox
         self.S, self.n = S, n
@@ -94,9 +98,12 @@ class ConsensusADMM:
     # -- one sharded iteration (traceable, runs under shard_map) ------------
     def _local_step(self, data, x, u, z):
         """Executed per device on its block shard."""
-        v = z[None, :] - u
-        x = jax.vmap(self.local_prox, in_axes=(0, 0))(v, data)
-        xu_local = jnp.sum(x + u, axis=0)
+        if self.local_update is not None:
+            x, xu_local = self.local_update(data, x, u, z)
+        else:
+            v = z[None, :] - u
+            x = jax.vmap(self.local_prox, in_axes=(0, 0))(v, data)
+            xu_local = jnp.sum(x + u, axis=0)
         if self.mesh is not None:
             xu_sum = jax.lax.psum(xu_local, self.axis_name)
         else:
@@ -153,8 +160,9 @@ class ConsensusADMM:
                 state, res, conv = self._epoch(data, state)
                 return state, it + epoch_iters, res, conv
 
-            state, res, conv = self._epoch(data, state)
-            carry = (state, jnp.asarray(epoch_iters), res, conv)
+            zero = jnp.zeros((), dtype=state[2].dtype)
+            carry = (state, jnp.asarray(0), jnp.stack([zero, zero]),
+                     jnp.asarray(False))
             return jax.lax.while_loop(cond, body, carry)
 
         if self.mesh is not None:
@@ -196,7 +204,8 @@ class ConsensusADMM:
 
 
 def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,
-                           mesh: Optional[Mesh] = None, **kwargs
+                           mesh: Optional[Mesh] = None,
+                           use_pallas: str = "auto", **kwargs
                            ) -> ConsensusADMM:
     """Consensus lasso: minimize sum_i 1/2||A_i x - b_i||^2 + lam ||x||_1,
     blocks sharded over the mesh (BASELINE config[4]).
@@ -236,5 +245,14 @@ def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,
     def global_prox(v):
         return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0)
 
+    local_update = None
+    if config.use_explicit_inverse() and (
+            use_pallas is True or
+            (use_pallas == "auto" and jax.default_backend() not in ("cpu",))):
+        from ..ops.pallas_kernels import fused_local_update
+
+        def local_update(d, x, u, z):
+            return fused_local_update(d["Finv"], d["Atb"], u, z, rho)
+
     return ConsensusADMM(local_prox, global_prox, data, S, n, rho=rho,
-                         mesh=mesh, **kwargs)
+                         mesh=mesh, local_update=local_update, **kwargs)

@@ -245,9 +245,12 @@ class ProxADMMTwoBlockSolver(SolverBase):
                             state, x, res, conv = self._epoch(state)
                             return state, x, it + epoch_iters, res, conv
 
-                        state0, x0, res0, conv0 = self._epoch(state)
-                        carry = (state0, x0, jnp.asarray(epoch_iters), res0,
-                                 conv0)
+                        # initial conv=False guarantees >= 1 epoch without
+                        # duplicating the epoch body in the HLO
+                        dtype = config.default_dtype()
+                        carry = (state, self._x_zeros(), jnp.asarray(0),
+                                 jnp.zeros(4, dtype=dtype),
+                                 jnp.asarray(False))
                         return jax.lax.while_loop(cond, body, carry)
 
                 self._compiled = (run, const_args)
@@ -432,9 +435,10 @@ class ProxADMMSolver(SolverBase):
                             state, xs, res, conv = self._epoch(state)
                             return state, xs, it + epoch_iters, res, conv
 
-                        state0, xs0, res0, conv0 = self._epoch(state)
-                        carry = (state0, xs0, jnp.asarray(epoch_iters), res0,
-                                 conv0)
+                        dtype = config.default_dtype()
+                        carry = (state, self._xs_zeros(), jnp.asarray(0),
+                                 jnp.zeros(4, dtype=dtype),
+                                 jnp.asarray(False))
                         return jax.lax.while_loop(cond, body, carry)
 
                 self._compiled = (run, const_args)
