@@ -319,7 +319,9 @@ def fold_to_operator(args, row_keys) -> AffineOperator:
         for var, M in fold.maps.items():
             A.insert(key, var, M)
         if np.any(fold.offset != 0):
-            b[key] = jnp.asarray(fold.offset)
+            # host array: converted at apply time via BlockVector.to_device
+            # so it participates in constant lifting
+            b[key] = fold.offset.astype(np.float64)
     return AffineOperator(A, b)
 
 

@@ -65,6 +65,14 @@ class BlockVector:
     def select(self, keys: Iterable[str]) -> "BlockVector":
         return BlockVector({k: self.data[k] for k in keys if k in self.data})
 
+    def to_device(self) -> "BlockVector":
+        """Convert numpy leaves for traced use, participating in constant
+        lifting (see linop._to_device)."""
+        from . import linop
+        return BlockVector({
+            k: (linop._to_device(v) if isinstance(v, np.ndarray) else v)
+            for k, v in self.data.items()})
+
     # algebra --------------------------------------------------------------
     def _binary(self, other: "BlockVector", f):
         out = dict(self.data)

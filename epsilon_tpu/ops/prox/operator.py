@@ -222,11 +222,12 @@ class VectorProxOperator(ProxOperator):
         return [entry.prox(vals[0], lam, **p)]
 
     def apply(self, v: BlockVector) -> BlockVector:
-        u = self.B.apply(v) + self.g
+        g = self.g.to_device()
+        u = self.B.apply(v) + g
         vals = self._kernel_args(u)
         outs = self._apply_kernel(vals)
         y = BlockVector({arg_key(i): outs[i] for i in range(len(outs))})
-        x = self.C.apply(y - self.g)
+        x = self.C.apply(y - g)
         if self.D is not None:
             x = x + self.D.apply(v)
         return x
@@ -273,7 +274,7 @@ class ZeroProxOperator(ProxOperator):
         self.var_keys = H.col_keys()
 
     def apply(self, v: BlockVector) -> BlockVector:
-        return self.chol.solve(self.rhs0 + v).select(self.var_keys)
+        return self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
 
 
 class AffineProxOperator(ProxOperator):
@@ -291,13 +292,13 @@ class AffineProxOperator(ProxOperator):
             for (r, ckey), op in affine_arg.A.blocks.items():
                 dense = op.as_dense()
                 assert dense.shape[0] == 1, "affine arg must be 1-row"
-                vec = jnp.asarray(dense[0] * spec.alpha)
+                vec = dense[0] * spec.alpha
                 c[ckey] = c[ckey] + vec if ckey in c else vec
         self.rhs0 = -1.0 * b - c
         self.var_keys = A.col_keys()
 
     def apply(self, v: BlockVector) -> BlockVector:
-        return self.chol.solve(self.rhs0 + v).select(self.var_keys)
+        return self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
 
 
 class SumSquareProxOperator(ProxOperator):
@@ -321,7 +322,7 @@ class SumSquareProxOperator(ProxOperator):
         self.var_keys = H.col_keys()
 
     def apply(self, v: BlockVector) -> BlockVector:
-        return self.chol.solve(self.rhs0 + v).select(self.var_keys)
+        return self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
 
 
 # ---------------------------------------------------------------------------
@@ -356,21 +357,25 @@ class SecondOrderConeProxOperator(ProxOperator):
         if alphat is None or alphax is None or not np.isclose(alphat, alphax):
             raise ValueError("A'A not scalar for SOC")
         self.AT = A.T.scale(1.0 / alphat)
-        dtype = config.default_dtype()
         self.a = at / abs(ax)
-        bt = g.get(arg_key(0), self.m)
-        bx = g.get(arg_key(1), self.m * self.n)
-        self.bt = jnp.asarray(bt, dtype=dtype) / abs(ax)
-        self.bx = jnp.asarray(bx, dtype=dtype) / ax
+        g_np = {k: np.asarray(val) for k, val in g.items()}
+        bt = g_np.get(arg_key(0), np.zeros(self.m))
+        bx = g_np.get(arg_key(1), np.zeros(self.m * self.n))
+        self._bt_host = np.asarray(bt, dtype=np.float64) / abs(ax)
+        self._bx_host = np.asarray(bx, dtype=np.float64) / ax
 
     def apply(self, v: BlockVector) -> BlockVector:
+        from ..linop import _to_device
+        dtype = config.default_dtype()
+        bt = _to_device(self._bt_host).astype(dtype)
+        bx = _to_device(self._bx_host).astype(dtype)
         u = self.AT.apply(v)
-        X = linop.jmat(u[self.x_key] + self.bx, (self.m, self.n))
-        t = u[self.t_key] + self.bt / self.a
+        X = linop.jmat(u[self.x_key] + bx, (self.m, self.n))
+        t = u[self.t_key] + bt / self.a
         Xp, tp = veckernels.project_soc_rows(X, t, self.a)
         out = BlockVector()
-        out[self.x_key] = linop.jvec(Xp) - self.bx
-        out[self.t_key] = tp - self.bt / self.a
+        out[self.x_key] = linop.jvec(Xp) - bx
+        out[self.t_key] = tp - bt / self.a
         return out
 
 

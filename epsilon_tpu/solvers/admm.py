@@ -90,6 +90,24 @@ class SolverBase:
             jax.eval_shape(self._epoch, state)
         return lifter, lifter.device_args()
 
+    def _rebuild_operators(self, problem: ProxProblem):
+        raise NotImplementedError
+
+    def update_problem(self, problem: ProxProblem):
+        """Swap in a problem with identical *structure* but new data
+        (Parameter updates) without recompiling: the compiled executable
+        takes the lifted constants as arguments, so only the constant
+        pytree is refreshed (reference analogue: Solver::SetParameterValue,
+        ``solver.cc:109-116`` + warm-start cache ``solvemodule.cc:142-155``).
+        """
+        self.problem = problem
+        self._rebuild_operators(problem)
+        if self._compiled is not None:
+            run, _old = self._compiled
+            with lift_collect() as lifter:
+                jax.eval_shape(self._epoch, self._init_state())
+            self._compiled = (run, lifter.device_args())
+
     def _finish(self, state, iters, res, converged, t_init, t_solve):
         self.status.num_iterations = int(iters)
         self.status.residuals = Residuals(
@@ -141,6 +159,20 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
         # Per-term prox operators with A = sqrt(rho)*I over term variables
         # (prox_admm_two_block.cc:52-88)
+        self._build_term_ops(problem)
+
+        # All state vectors live on a fixed key set (term vars + constraint
+        # vars) so loop carries keep a stable pytree structure.
+        self.all_dims: Dict[str, int] = dict(self.z_dims)
+        for tvars in self.term_vars:
+            for v in tvars:
+                self.all_dims[v] = problem.var_dims[v]
+
+        self._t_init = time.time() - t0
+        self._compiled = None
+
+    def _build_term_ops(self, problem: ProxProblem):
+        sqrt_rho = self.sqrt_rho
         self.term_ops = []
         self.term_vars: List[List[str]] = []
         for term in problem.terms:
@@ -152,15 +184,10 @@ class ProxADMMTwoBlockSolver(SolverBase):
             self.term_ops.append(op)
             self.term_vars.append(tvars)
 
-        # All state vectors live on a fixed key set (term vars + constraint
-        # vars) so loop carries keep a stable pytree structure.
-        self.all_dims: Dict[str, int] = dict(self.z_dims)
-        for tvars in self.term_vars:
-            for v in tvars:
-                self.all_dims[v] = problem.var_dims[v]
-
-        self._t_init = time.time() - t0
-        self._compiled = None
+    def _rebuild_operators(self, problem: ProxProblem):
+        self._build_term_ops(problem)
+        # constraint structure is data-independent in the supported update
+        # path (equality constraints between variables); keep constr_prox.
 
     # -- iteration bodies (traceable) --------------------------------------
     def _iter_body(self, state):
@@ -334,7 +361,7 @@ class ProxADMMSolver(SolverBase):
     def _sweep(self, state):
         """One Gauss-Seidel sweep (prox_admm.cc:134-148)."""
         u, ys = state
-        u = u - self.b
+        u = u - self.b.to_device()
         for y in ys:
             u = u - y
         xs = []
@@ -354,8 +381,9 @@ class ProxADMMSolver(SolverBase):
         rho = self.params.rho
         N = len(self.term_ops)
 
-        Ax_b = self.b
-        max_norm = self.b.norm()
+        b_dev = self.b.to_device()
+        Ax_b = b_dev
+        max_norm = b_dev.norm()
         for x in xs:
             Ai_xi = self.A.apply(x)
             max_norm = jnp.maximum(max_norm, Ai_xi.norm())
