@@ -61,6 +61,12 @@ def constant_value(e: Expression) -> np.ndarray:
             return np.full((1, 1), e.attr["scalar"])
         v = e.attr["value"]
         return v.toarray() if sp.issparse(v) else np.asarray(v, dtype=float)
+    if t == ExprType.VARIABLE and e.attr.get("is_parameter"):
+        var = e.attr.get("var_object")
+        if var is None or var.value is None:
+            raise ValueError(f"Parameter {e.attr['variable_id']} has no value")
+        val = np.asarray(var.value, dtype=float)
+        return val.reshape(e.size) if val.size > 1 else np.full((1, 1), float(val))
     args = [constant_value(a) for a in e.args]
     if t == ExprType.ADD:
         out = np.zeros(e.size)

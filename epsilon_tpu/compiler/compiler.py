@@ -35,6 +35,11 @@ def _collect_var_dims(problem: ex.Problem):
 
 def compile_problem(problem: ex.Problem, use_epigraph: bool = True
                     ) -> ProxProblem:
+    # deterministic epigraph-variable naming per compile: identical problem
+    # structure always compiles to identical variable ids (required for
+    # no-recompile Parameter updates)
+    import itertools
+    prox_rules._EPI_COUNTER = itertools.count()
     var_dims, var_shapes = _collect_var_dims(problem)
     terms = prox_rules.transform_problem(problem, use_epigraph=use_epigraph)
     # epigraph/copy variables introduced during matching

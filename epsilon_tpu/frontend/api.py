@@ -148,6 +148,7 @@ class Parameter(Variable):
     def __init__(self, m: int = 1, n: int = 1, name: Optional[str] = None,
                  value=None):
         super().__init__(m, n, name)
+        self.attr["is_parameter"] = True
         self.value = value
 
 

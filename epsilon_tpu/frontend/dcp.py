@@ -195,6 +195,9 @@ def compute_dcp_properties(e: Expression) -> DcpProps:
     if t == ExprType.CONSTANT:
         return DcpProps(Curvature.CONSTANT, _sign_of_constant(e))
     if t == ExprType.VARIABLE:
+        if e.attr.get("is_parameter"):
+            # Parameters are compile-time constants (re-folded on update)
+            return DcpProps(Curvature.CONSTANT, Sign.UNKNOWN)
         return DcpProps(Curvature.AFFINE, Sign.UNKNOWN)
     if t == ExprType.PROX_FUNCTION:
         return DcpProps(Curvature.CONVEX, Sign.UNKNOWN)

@@ -29,6 +29,21 @@ logger = logging.getLogger("epsilon_tpu")
 _PROBLEM_CACHE: Dict[int, tuple] = {}
 
 
+def _has_parameters(problem: api.Problem) -> bool:
+    found = [False]
+
+    def visit(e):
+        if e.attr.get("is_parameter"):
+            found[0] = True
+        for a in e.args:
+            visit(a)
+
+    visit(problem.objective.expr)
+    for c in problem.constraints:
+        visit(c)
+    return found[0]
+
+
 def _set_solution(problem: api.Problem, values: BlockVector,
                   prox_problem: ProxProblem):
     var_objs: Dict[str, api.Variable] = {}
@@ -58,6 +73,15 @@ def solve(problem: api.Problem, verbose: bool = False, **kwargs) -> float:
     if cached is not None:
         prox_problem, solver = cached
         solver.params = params
+        if _has_parameters(problem):
+            # Parameter values may have changed: re-fold the (identically
+            # structured) problem and swap the lifted constants — no
+            # recompilation (solver.update_problem).
+            prox_problem = compiler.compile_problem(
+                problem.expression_problem(),
+                use_epigraph=params.use_epigraph)
+            solver.update_problem(prox_problem)
+            _PROBLEM_CACHE[key] = (prox_problem, solver)
     else:
         prox_problem = compiler.compile_problem(
             problem.expression_problem(), use_epigraph=params.use_epigraph)

@@ -46,3 +46,32 @@ def test_update_problem_no_recompile(rng):
     diff = max(float(np.max(np.abs(np.asarray(x1[k]) - np.asarray(x2[k]))))
                for k in x1.keys())
     assert diff > 1e-3
+
+
+def test_parameter_resolve_through_frontend(rng):
+    """Parameter change + warm_start re-solve reuses the compiled solver."""
+    m, n = 15, 6
+    A = rng.randn(m, n)
+    b_param = ep.Parameter(m, value=rng.randn(m))
+    x = ep.Variable(n)
+    prob = ep.Problem(ep.Minimize(
+        0.5 * ep.sum_squares(ep._wrap(A) * x - b_param) + 0.2 * ep.norm1(x)))
+    prob.solve(rel_tol=1e-6, abs_tol=1e-9, warm_start=True)
+    x1 = x.value.copy()
+    from epsilon_tpu.frontend.solve import _PROBLEM_CACHE
+    run1 = _PROBLEM_CACHE[id(prob)][1]._compiled[0]
+
+    b_param.value = rng.randn(m)
+    prob.solve(rel_tol=1e-6, abs_tol=1e-9, warm_start=True)
+    x2 = x.value.copy()
+    run2 = _PROBLEM_CACHE[id(prob)][1]._compiled[0]
+    assert run1 is run2, "parameter update must not recompile"
+    assert np.max(np.abs(x1 - x2)) > 1e-4
+
+    # correctness vs fresh solve
+    x_fresh = ep.Variable(n)
+    prob_fresh = ep.Problem(ep.Minimize(
+        0.5 * ep.sum_squares(ep._wrap(A) * x_fresh - np.asarray(b_param.value))
+        + 0.2 * ep.norm1(x_fresh)))
+    prob_fresh.solve(rel_tol=1e-6, abs_tol=1e-9)
+    np.testing.assert_allclose(x2.ravel(), x_fresh.value.ravel(), atol=1e-5)
