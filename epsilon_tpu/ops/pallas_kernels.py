@@ -24,40 +24,50 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_local_update", "local_update_reference"]
+__all__ = ["fused_local_update", "local_update_reference", "pallas_supported"]
 
 
 def local_update_reference(Finv, Atb, u, z, rho):
-    """Plain jnp reference: x, sum(x+u), per-element accumulators."""
+    """Plain jnp reference: x, sum(x+u)."""
     v = z[None, :] - u
     x = jnp.einsum("sij,sj->si", Finv, Atb + rho * v)
     xu_sum = jnp.sum(x + u, axis=0)
     return x, xu_sum
 
 
-def _kernel(z_ref, Finv_ref, Atb_ref, u_ref, rho_ref,
-            x_ref, xu_ref):
-    """One grid step = one block. Refs:
-    z (n,), Finv (n, n), Atb (n,), u (n,) -> x (n,), xu partial (n,).
-    """
-    s = pl.program_id(0)
-    rho = rho_ref[0]
-    u = u_ref[0]
-    v = z_ref[:] - u
-    rhs = Atb_ref[0] + rho * v
-    # (n, n) @ (n, 1) on the MXU
-    x = jnp.dot(Finv_ref[0], rhs[:, None],
-                preferred_element_type=jnp.float32)[:, 0]
-    x_ref[0] = x
-
-    @pl.when(s == 0)
-    def _():
-        xu_ref[:] = jnp.zeros_like(xu_ref)
-
-    xu_ref[:] += x + u
+def pallas_supported(S: int, n: int) -> bool:
+    """Mosaic requires the last two block dims to tile (8, 128) or equal the
+    array dims; our blocks use full trailing dims, so any n is legal, but
+    tiny n wastes the MXU — keep the jnp path below 128."""
+    return n >= 128
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _make_kernel(rho):
+    def _kernel(z_ref, Finv_ref, Atb_ref, u_ref, x_ref, xu_ref):
+        """One grid step = one scenario block.
+
+        Shapes (as blocks): z (1, n); Finv (1, n, n); Atb/u/x (1, 1, n);
+        xu accumulator (1, n); rho is a trace-time constant.
+        """
+        s = pl.program_id(0)
+        u = u_ref[0, 0]
+        v = z_ref[0] - u
+        rhs = Atb_ref[0, 0] + rho * v
+        # (n, n) @ (n, 1) on the MXU
+        x = jnp.dot(Finv_ref[0], rhs[:, None],
+                    preferred_element_type=jnp.float32)[:, 0]
+        x_ref[0, 0] = x
+
+        @pl.when(s == 0)
+        def _():
+            xu_ref[0] = jnp.zeros_like(xu_ref[0])
+
+        xu_ref[0] += x + u
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("rho", "interpret"))
 def fused_local_update(Finv, Atb, u, z, rho, interpret: bool = False):
     """Fused consensus local update over the leading block axis.
 
@@ -65,26 +75,27 @@ def fused_local_update(Finv, Atb, u, z, rho, interpret: bool = False):
     Returns: x (S, n), xu_sum (n,).
     """
     S, n = Atb.shape
-    rho_arr = jnp.asarray([rho], dtype=Finv.dtype)
+    z2 = z[None, :]                      # (1, n)
+    Atb3 = Atb[:, None, :]               # (S, 1, n)
+    u3 = u[:, None, :]
     grid = (S,)
     x, xu = pl.pallas_call(
-        _kernel,
+        _make_kernel(float(rho)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n,), lambda s: (0,)),            # z (replicated)
-            pl.BlockSpec((1, n, n), lambda s: (s, 0, 0)),  # Finv block
-            pl.BlockSpec((1, n), lambda s: (s, 0)),        # Atb block
-            pl.BlockSpec((1, n), lambda s: (s, 0)),        # u block
-            pl.BlockSpec((1,), lambda s: (0,)),            # rho
+            pl.BlockSpec((1, n), lambda s: (0, 0)),          # z (replicated)
+            pl.BlockSpec((1, n, n), lambda s: (s, 0, 0)),    # Finv block
+            pl.BlockSpec((1, 1, n), lambda s: (s, 0, 0)),    # Atb block
+            pl.BlockSpec((1, 1, n), lambda s: (s, 0, 0)),    # u block
         ],
         out_specs=[
-            pl.BlockSpec((1, n), lambda s: (s, 0)),        # x block
-            pl.BlockSpec((n,), lambda s: (0,)),            # xu accumulator
+            pl.BlockSpec((1, 1, n), lambda s: (s, 0, 0)),    # x block
+            pl.BlockSpec((1, n), lambda s: (0, 0)),          # xu accumulator
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, n), Finv.dtype),
-            jax.ShapeDtypeStruct((n,), Finv.dtype),
+            jax.ShapeDtypeStruct((S, 1, n), Finv.dtype),
+            jax.ShapeDtypeStruct((1, n), Finv.dtype),
         ],
         interpret=interpret,
-    )(z, Finv, Atb, u, rho_arr)
-    return x, xu
+    )(z2, Finv, Atb3, u3)
+    return x[:, 0, :], xu[0]

@@ -249,10 +249,10 @@ def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,
     if config.use_explicit_inverse() and (
             use_pallas is True or
             (use_pallas == "auto" and jax.default_backend() not in ("cpu",))):
-        from ..ops.pallas_kernels import fused_local_update
-
-        def local_update(d, x, u, z):
-            return fused_local_update(d["Finv"], d["Atb"], u, z, rho)
+        from ..ops.pallas_kernels import fused_local_update, pallas_supported
+        if pallas_supported(S, n):
+            def local_update(d, x, u, z):
+                return fused_local_update(d["Finv"], d["Atb"], u, z, rho)
 
     return ConsensusADMM(local_prox, global_prox, data, S, n, rho=rho,
                          mesh=mesh, local_update=local_update, **kwargs)

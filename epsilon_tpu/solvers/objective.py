@@ -18,9 +18,16 @@ from ..ops.prox.registry import get_kernel
 def term_objective(term: ProxTerm, x: BlockVector):
     """alpha * f(H(x)) for one prox term; indicators contribute 0."""
     spec = term.spec
-    u = term.H.A.apply(x) + term.H.b
+    u = term.H.A.apply(x) + term.H.b.to_device()
     kind = spec.kind
-    if kind in (ProxKind.CONSTANT, ProxKind.ZERO, ProxKind.NON_NEGATIVE,
+    if kind == ProxKind.CONSTANT:
+        # constant objective addend = the offset (add_constant_prox terms
+        # carry no offset and contribute 0)
+        total = jnp.asarray(0.0)
+        for key, vec in term.H.b.items():
+            total = total + jnp.sum(jnp.asarray(vec))
+        return total
+    if kind in (ProxKind.ZERO, ProxKind.NON_NEGATIVE,
                 ProxKind.SEMIDEFINITE, ProxKind.SECOND_ORDER_CONE):
         return jnp.asarray(0.0)
     if spec.epigraph:
