@@ -70,10 +70,18 @@ class ConsensusADMM:
                  mesh: Optional[Mesh] = None, axis_name: str = "blocks",
                  rel_tol: float = 1e-3, abs_tol: float = 1e-6,
                  max_iterations: int = 10000, epoch_iterations: int = 10,
-                 local_update: Optional[Callable] = None):
-        # optional fused override: (data, x, u, z) -> (x, sum(x+u)); used by
-        # the Pallas-backed consensus lasso path
+                 local_update: Optional[Callable] = None,
+                 adaptive_rho: bool = False, rho_mu: float = 10.0,
+                 rho_tau: float = 2.0):
+        # optional fused override: (data, x, u, z[, rho]) -> (x, sum(x+u));
+        # used by the Pallas-backed consensus lasso path.
+        # adaptive_rho: residual balancing (Boyd et al. sec. 3.4.1) — rho is
+        # carried in the solver state and local/global proxes must accept it
+        # as a trailing argument (use eigendecomposition-based factors so
+        # rho changes are free).
         self.local_update = local_update
+        self.adaptive_rho = adaptive_rho
+        self.rho_mu, self.rho_tau = rho_mu, rho_tau
         self.local_prox = local_prox
         self.global_prox = global_prox
         self.S, self.n = S, n
@@ -96,10 +104,15 @@ class ConsensusADMM:
         self._compiled = None
 
     # -- one sharded iteration (traceable, runs under shard_map) ------------
-    def _local_step(self, data, x, u, z):
+    def _local_step(self, data, x, u, z, rho=None):
         """Executed per device on its block shard."""
         if self.local_update is not None:
-            x, xu_local = self.local_update(data, x, u, z)
+            args = (data, x, u, z) + ((rho,) if self.adaptive_rho else ())
+            x, xu_local = self.local_update(*args)
+        elif self.adaptive_rho:
+            v = z[None, :] - u
+            x = jax.vmap(self.local_prox, in_axes=(0, 0, None))(v, data, rho)
+            xu_local = jnp.sum(x + u, axis=0)
         else:
             v = z[None, :] - u
             x = jax.vmap(self.local_prox, in_axes=(0, 0))(v, data)
@@ -108,7 +121,10 @@ class ConsensusADMM:
             xu_sum = jax.lax.psum(xu_local, self.axis_name)
         else:
             xu_sum = xu_local
-        z_new = self.global_prox(xu_sum / self.S)
+        if self.adaptive_rho:
+            z_new = self.global_prox(xu_sum / self.S, rho)
+        else:
+            z_new = self.global_prox(xu_sum / self.S)
         u_new = u + x - z_new[None, :]
         # residual pieces
         r_sq_local = jnp.sum((x - z_new[None, :]) ** 2)
@@ -123,28 +139,39 @@ class ConsensusADMM:
         return x, u_new, z_new, (r_sq, x_sq, u_sq)
 
     def _epoch(self, data, state):
-        x, u, z = state
+        x, u, z, rho = state
         z_prev = z
         zero = jnp.zeros((), dtype=z.dtype)
 
         def body(_, carry):
             x, u, z, _stats = carry
-            return self._local_step(data, x, u, z)
+            return self._local_step(data, x, u, z, rho)
 
         x, u, z, stats = jax.lax.fori_loop(
             0, self.epoch_iterations, body,
             (x, u, z, (zero, zero, zero)))
         r_sq, x_sq, u_sq = stats
         r_norm = jnp.sqrt(r_sq)
-        s_norm = self.rho * jnp.sqrt(jnp.asarray(self.S, z.dtype)) \
+        s_norm = rho * jnp.sqrt(jnp.asarray(self.S, z.dtype)) \
             * jnp.linalg.norm(z - z_prev)
         sqrt_n = float(np.sqrt(self.S * self.n))
         eps_p = self.abs_tol * sqrt_n + self.rel_tol * jnp.maximum(
             jnp.sqrt(x_sq), jnp.sqrt(jnp.asarray(self.S, z.dtype))
             * jnp.linalg.norm(z))
-        eps_d = self.abs_tol * sqrt_n + self.rel_tol * self.rho * jnp.sqrt(u_sq)
+        eps_d = self.abs_tol * sqrt_n + self.rel_tol * rho * jnp.sqrt(u_sq)
         conv = (r_norm <= eps_p) & (s_norm <= eps_d)
-        return (x, u, z), jnp.stack([r_norm, s_norm]), conv
+
+        if self.adaptive_rho:
+            # residual balancing: keep ||r|| and ||s|| within a factor mu,
+            # rescaling the scaled dual u when rho changes
+            mu, tau = self.rho_mu, self.rho_tau
+            grow = r_norm > mu * s_norm
+            shrink = s_norm > mu * r_norm
+            factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau, 1.0))
+            rho = rho * factor
+            u = u / factor
+
+        return (x, u, z, rho), jnp.stack([r_norm, s_norm]), conv
 
     def _build(self):
         epoch_iters = self.epoch_iterations
@@ -168,12 +195,12 @@ class ConsensusADMM:
         if self.mesh is not None:
             spec = P(self.axis_name)
             rep = P()
-            state_specs = (spec, spec, rep)
+            state_specs = (spec, spec, rep, rep)
             data_spec = jax.tree_util.tree_map(lambda _: spec, self.data)
             run = jax.shard_map(
                 run, mesh=self.mesh,
                 in_specs=(data_spec, state_specs),
-                out_specs=((spec, spec, rep), rep, rep, rep),
+                out_specs=((spec, spec, rep, rep), rep, rep, rep),
                 check_vma=False)
         return jax.jit(run)
 
@@ -182,12 +209,15 @@ class ConsensusADMM:
         x = jnp.zeros((self.S, self.n), dtype=dtype)
         u = jnp.zeros((self.S, self.n), dtype=dtype)
         z = jnp.zeros(self.n, dtype=dtype)
+        rho = jnp.asarray(self.rho, dtype=dtype)
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(self.axis_name))
             x = jax.device_put(x, sharding)
             u = jax.device_put(u, sharding)
-            z = jax.device_put(z, NamedSharding(self.mesh, P()))
-        return (x, u, z)
+            rep = NamedSharding(self.mesh, P())
+            z = jax.device_put(z, rep)
+            rho = jax.device_put(rho, rep)
+        return (x, u, z, rho)
 
     def solve(self, state=None) -> ConsensusResult:
         if self._compiled is None:
@@ -205,7 +235,8 @@ class ConsensusADMM:
 
 def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,
                            mesh: Optional[Mesh] = None,
-                           use_pallas: str = "auto", **kwargs
+                           use_pallas: str = "auto",
+                           adaptive_rho: bool = False, **kwargs
                            ) -> ConsensusADMM:
     """Consensus lasso: minimize sum_i 1/2||A_i x - b_i||^2 + lam ||x||_1,
     blocks sharded over the mesh (BASELINE config[4]).
@@ -223,6 +254,27 @@ def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,
     AtA = jnp.einsum("smi,smj->sij", A_blocks, A_blocks)
     Atb = jnp.einsum("smi,sm->si", A_blocks, b_blocks)
     eye = jnp.eye(n, dtype=A_blocks.dtype)
+
+    if adaptive_rho:
+        # eigendecomposition-based factor cache: (A'A + rho I)^{-1} =
+        # Q diag(1/(eig + rho)) Q^T, so rho changes are free (two extra
+        # matmuls per apply instead of a refactorization)
+        eig, Q = jnp.linalg.eigh(AtA)
+        data = {"Q": Q, "eig": eig, "QtAtb": jnp.einsum("sij,si->sj", Q, Atb)}
+
+        def local_prox(v, d, rho_t):
+            w = d["QtAtb"] + rho_t * (d["Q"].T @ v)
+            y = w / (d["eig"] + rho_t)
+            return d["Q"] @ y
+
+        thresh_scale = lam / S
+
+        def global_prox(v, rho_t):
+            t = thresh_scale / rho_t
+            return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
+
+        return ConsensusADMM(local_prox, global_prox, data, S, n, rho=rho,
+                             mesh=mesh, adaptive_rho=True, **kwargs)
     if config.use_explicit_inverse():
         # factor-once as explicit inverses: the per-iteration solve becomes
         # a batched MXU matmul (TPUs have no fast triangular solve)

@@ -104,3 +104,29 @@ def test_mesh_on_subset():
                                     abs_tol=1e-8, max_iterations=10000)
     res = solver.solve()
     assert res.converged
+
+
+def test_adaptive_rho_converges_faster():
+    """Badly scaled blocks: residual-balancing rho (eigh factor cache)
+    should need no more iterations than a poorly chosen fixed rho."""
+    S, m, n = 4, 30, 8
+    rng = np.random.RandomState(7)
+    A = rng.randn(S, m, n)
+    A[0] *= 30.0  # scale imbalance
+    x0 = rng.randn(n) * (rng.rand(n) < 0.5)
+    b = np.einsum("smn,n->sm", A, x0) + 0.01 * rng.randn(S, m)
+    lam = 1.0
+
+    fixed = consensus_lasso_solver(A, b, lam, rho=0.01, rel_tol=1e-6,
+                                   abs_tol=1e-9, max_iterations=50000)
+    res_fixed = fixed.solve()
+    adaptive = consensus_lasso_solver(A, b, lam, rho=0.01, adaptive_rho=True,
+                                      rel_tol=1e-6, abs_tol=1e-9,
+                                      max_iterations=50000)
+    res_adapt = adaptive.solve()
+    assert res_adapt.converged
+    assert res_adapt.iterations <= res_fixed.iterations
+    # solutions agree
+    x_o = _oracle(A, b, lam)
+    assert _full_objective(A, b, lam, np.asarray(res_adapt.z)) <= \
+        _full_objective(A, b, lam, x_o) * (1 + 1e-3) + 1e-6
