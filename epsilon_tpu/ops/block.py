@@ -117,6 +117,25 @@ class BlockVector:
     def __repr__(self):
         return f"BlockVector({ {k: v.shape for k, v in self.data.items()} })"
 
+    # flat packing (VariableOffsetMap equivalent, ``var_offset_map.h:8-30``)
+    def pack(self, keys=None):
+        """Concatenate blocks (sorted keys) into one flat vector + offsets."""
+        keys = sorted(self.data) if keys is None else list(keys)
+        offsets = {}
+        acc = 0
+        parts = []
+        for k in keys:
+            offsets[k] = acc
+            acc += int(np.prod(self.data[k].shape))
+            parts.append(jnp.ravel(self.data[k]))
+        return jnp.concatenate(parts) if parts else jnp.zeros(0), offsets
+
+    @staticmethod
+    def unpack(flat, offsets, dims):
+        """Inverse of :meth:`pack` given {key: offset} and {key: dim}."""
+        return BlockVector({k: flat[off:off + dims[k]]
+                            for k, off in offsets.items()})
+
 
 class BlockMatrix:
     """map<(row_key, col_key), LinOp> (``block_matrix.h:33-86``).
