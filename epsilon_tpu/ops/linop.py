@@ -775,6 +775,22 @@ def add(lhs: LinOp, rhs: LinOp) -> LinOp:
     if lhs.shape != rhs.shape:
         raise ValueError(f"dimension mismatch in add: {lhs.shape} + {rhs.shape}")
 
+    # structure preservation: s*I + (aI_k (x) B) = I_k (x) (aB + sI)
+    # (and symmetrically for scalar right factors) — critical for
+    # Kronecker-structured KKT pivots (e.g. multiclass problems where the
+    # Schur complement is I_k (x) X'X).
+    for a, b in ((lhs, rhs), (rhs, lhs)):
+        sv = a.scalar_value()
+        if sv is not None and isinstance(b, KronOp) and b.m == b.n:
+            asv = b.A.scalar_value()
+            if asv is not None and b.B.m == b.B.n:
+                inner = add(b.B.scale(asv), ScalarOp(sv, b.B.n))
+                return KronOp(ScalarOp(1.0, b.A.n), inner)
+            bsv = b.B.scalar_value()
+            if bsv is not None and b.A.m == b.A.n:
+                outer = add(b.A.scale(bsv), ScalarOp(sv, b.A.n))
+                return KronOp(outer, ScalarOp(1.0, b.B.n))
+
     ld, rd = lhs.diag_value(), rhs.diag_value()
     if ld is not None and rd is not None:
         s = ld + rd

@@ -169,3 +169,30 @@ def test_gram(rng):
     g = linop.dense(A).gram()
     np.testing.assert_allclose(g.as_dense(), A.T @ A, atol=1e-12)
     assert linop.scalar(2.0, 3).gram().scalar_value() == 4.0
+
+
+def test_scalar_plus_kron_structure(rng):
+    """s*I + (I_k (x) B) must stay Kronecker (no densification) — the
+    multiclass KKT Schur-complement structure."""
+    k, n = 3, 4
+    B = rng.randn(n, n)
+    K = linop.kronecker(linop.identity(k), linop.dense(B))
+    out = linop.scalar(2.0, k * n) + K
+    assert isinstance(out, linop.KronOp)
+    np.testing.assert_allclose(out.as_dense(),
+                               2.0 * np.eye(k * n) + np.kron(np.eye(k), B),
+                               atol=1e-12)
+    # inverse stays Kronecker-structured
+    Binv = out.inverse()
+    assert isinstance(Binv, linop.KronOp)
+    np.testing.assert_allclose(
+        Binv.as_dense(),
+        np.linalg.inv(2.0 * np.eye(k * n) + np.kron(np.eye(k), B)), atol=1e-8)
+    # scalar right factor case
+    A = rng.randn(k, k)
+    K2 = linop.kronecker(linop.dense(A), linop.scalar(1.5, n))
+    out2 = linop.scalar(1.0, k * n) + K2
+    assert isinstance(out2, linop.KronOp)
+    np.testing.assert_allclose(out2.as_dense(),
+                               np.eye(k * n) + np.kron(A, 1.5 * np.eye(n)),
+                               atol=1e-12)
