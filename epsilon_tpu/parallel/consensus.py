@@ -72,7 +72,7 @@ class ConsensusADMM:
                  max_iterations: int = 10000, epoch_iterations: int = 10,
                  local_update: Optional[Callable] = None,
                  adaptive_rho: bool = False, rho_mu: float = 10.0,
-                 rho_tau: float = 2.0):
+                 rho_tau: float = 2.0, over_relaxation: float = 1.0):
         # optional fused override: (data, x, u, z[, rho]) -> (x, sum(x+u));
         # used by the Pallas-backed consensus lasso path.
         # adaptive_rho: residual balancing (Boyd et al. sec. 3.4.1) — rho is
@@ -82,6 +82,7 @@ class ConsensusADMM:
         self.local_update = local_update
         self.adaptive_rho = adaptive_rho
         self.rho_mu, self.rho_tau = rho_mu, rho_tau
+        self.over_relaxation = over_relaxation
         self.local_prox = local_prox
         self.global_prox = global_prox
         self.S, self.n = S, n
@@ -117,6 +118,12 @@ class ConsensusADMM:
             v = z[None, :] - u
             x = jax.vmap(self.local_prox, in_axes=(0, 0))(v, data)
             xu_local = jnp.sum(x + u, axis=0)
+        alpha = self.over_relaxation
+        if alpha != 1.0:
+            x_hat = alpha * x + (1.0 - alpha) * z[None, :]
+            xu_local = jnp.sum(x_hat + u, axis=0)
+        else:
+            x_hat = x
         if self.mesh is not None:
             xu_sum = jax.lax.psum(xu_local, self.axis_name)
         else:
@@ -125,7 +132,7 @@ class ConsensusADMM:
             z_new = self.global_prox(xu_sum / self.S, rho)
         else:
             z_new = self.global_prox(xu_sum / self.S)
-        u_new = u + x - z_new[None, :]
+        u_new = u + x_hat - z_new[None, :]
         # residual pieces
         r_sq_local = jnp.sum((x - z_new[None, :]) ** 2)
         x_sq_local = jnp.sum(x * x)

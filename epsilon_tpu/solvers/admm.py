@@ -196,7 +196,9 @@ class ProxADMMTwoBlockSolver(SolverBase):
         x = _zeros(self.all_dims)
         for op in self.term_ops:
             x = x + op.apply(self.sqrt_rho * zu)
-        xu = x + u
+        alpha = self.params.over_relaxation
+        x_hat = x if alpha == 1.0 else alpha * x + (1.0 - alpha) * z
+        xu = x_hat + u
         if self.constr_prox is not None:
             zp = self.constr_prox.apply(self.sqrt_rho * xu)
             # variables untouched by constraints pass through unprojected
@@ -204,7 +206,7 @@ class ProxADMMTwoBlockSolver(SolverBase):
                                  for k in self.all_dims})
         else:
             z_new = xu
-        u_new = u + x - z_new
+        u_new = u + x_hat - z_new
         return (z_new, u_new), x
 
     def _residuals(self, state, x, z_prev):

@@ -19,6 +19,9 @@ class SolverParams:
     max_iterations: int = 10000
     # algorithm parameters (solver_params.proto:36-39)
     rho: float = 1.0
+    # over-relaxation alpha in (0, 2): x_hat = alpha*x + (1-alpha)*z in the
+    # z/u updates (Boyd et al. sec. 3.4.3); 1.0 = plain ADMM
+    over_relaxation: float = 1.0
     epoch_iterations: int = 10
     log_iterations: int = 100
     # compiler toggle (solver_params.proto:60)

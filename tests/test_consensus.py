@@ -130,3 +130,21 @@ def test_adaptive_rho_converges_faster():
     x_o = _oracle(A, b, lam)
     assert _full_objective(A, b, lam, np.asarray(res_adapt.z)) <= \
         _full_objective(A, b, lam, x_o) * (1 + 1e-3) + 1e-6
+
+
+def test_consensus_over_relaxation():
+    S, m, n = 4, 20, 6
+    A, b, _ = _make_lasso_blocks(S, m, n, seed=9)
+    lam = 0.4
+    plain = consensus_lasso_solver(A, b, lam, rel_tol=1e-7, abs_tol=1e-10,
+                                   max_iterations=30000)
+    res_p = plain.solve()
+    relaxed = consensus_lasso_solver(A, b, lam, rel_tol=1e-7, abs_tol=1e-10,
+                                     max_iterations=30000,
+                                     over_relaxation=1.7)
+    res_r = relaxed.solve()
+    assert res_r.converged
+    assert res_r.iterations <= res_p.iterations
+    x_o = _oracle(A, b, lam)
+    assert _full_objective(A, b, lam, np.asarray(res_r.z)) <= \
+        _full_objective(A, b, lam, x_o) * (1 + 1e-3) + 1e-6

@@ -171,3 +171,27 @@ def test_equality_constrained_ls():
     x_o = np.linalg.solve(K, rhs)[:n]
     np.testing.assert_allclose(C @ x, d, atol=1e-4)
     np.testing.assert_allclose(x, x_o, atol=1e-3)
+
+
+def test_over_relaxation_speeds_convergence():
+    rng = np.random.RandomState(4)
+    m, n = 25, 12
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+    prob = make_lasso_problem(A, b, 0.4)
+    plain = ProxADMMTwoBlockSolver(
+        prob, SolverParams(rel_tol=1e-7, abs_tol=1e-10, max_iterations=20000))
+    plain.solve()
+    it_plain = plain.status.num_iterations
+
+    prob2 = make_lasso_problem(A, b, 0.4)
+    relaxed = ProxADMMTwoBlockSolver(
+        prob2, SolverParams(rel_tol=1e-7, abs_tol=1e-10, max_iterations=20000,
+                            over_relaxation=1.7))
+    x = relaxed.solve()
+    it_relax = relaxed.status.num_iterations
+    assert it_relax < it_plain
+    # solution still correct
+    x_o = lasso_oracle(A, b, 0.4)
+    assert _lasso_objective(A, b, 0.4, np.asarray(x["x"])) <= \
+        _lasso_objective(A, b, 0.4, x_o) * (1 + 1e-3) + 1e-6
