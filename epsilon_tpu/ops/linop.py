@@ -768,7 +768,48 @@ def multiply(lhs: LinOp, rhs: LinOp) -> LinOp:
     if isinstance(lhs, DenseOp) and isinstance(rhs, SparseOp):
         return DenseOp((rhs.A.T @ lhs.A.T).T)
 
-    return DenseOp(lhs.as_dense() @ rhs.as_dense())
+    if isinstance(lhs, DenseOp) and isinstance(rhs, DenseOp):
+        return DenseOp(_host_gemm(lhs.A, rhs.A))
+    return DenseOp(_host_gemm(lhs.as_dense(), rhs.as_dense()))
+
+
+# Large compile-time gemms (e.g. X'X Schur complements) run on the
+# accelerator instead of the (few-core) host when the flop count warrants
+# the transfer.  Uploaded operands are cached by identity: the same data
+# matrix participates in several Schur products and the host<->device link
+# (axon tunnel) is the bottleneck, not the matmul.
+_DEVICE_GEMM_MIN_FLOPS = 5e10
+_DEVICE_OPERAND_CACHE: dict = {}
+
+
+def _device_operand(A: np.ndarray):
+    key = (id(A), A.shape)
+    hit = _DEVICE_OPERAND_CACHE.get(key)
+    if hit is None:
+        # transposed views share the base buffer; upload the base once
+        base = A.base if (A.base is not None and A.base.ndim == 2) else A
+        bkey = (id(base), base.shape)
+        dbase = _DEVICE_OPERAND_CACHE.get(bkey)
+        if dbase is None:
+            dbase = jnp.asarray(np.ascontiguousarray(base), dtype=jnp.float32)
+            if len(_DEVICE_OPERAND_CACHE) > 16:
+                _DEVICE_OPERAND_CACHE.clear()
+            _DEVICE_OPERAND_CACHE[bkey] = dbase
+        hit = dbase if base is A else dbase.T
+        _DEVICE_OPERAND_CACHE[key] = hit
+    return hit
+
+
+def _host_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    flops = 2.0 * A.shape[0] * A.shape[1] * B.shape[1]
+    if flops >= _DEVICE_GEMM_MIN_FLOPS and _LIFTER is None:
+        try:
+            if jax.default_backend() not in ("cpu",):
+                out = _device_operand(A) @ _device_operand(B)
+                return np.asarray(jax.block_until_ready(out)).astype(A.dtype)
+        except Exception:
+            pass
+    return A @ B
 
 
 def add(lhs: LinOp, rhs: LinOp) -> LinOp:
