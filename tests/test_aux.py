@@ -93,3 +93,32 @@ def test_solver_status_series(rng):
     assert len(solver.status.series) >= 1
     assert solver.status.timing.solve_usec > 0
     assert "iter=" in solver.status.log_line()
+
+
+def test_expression_vis_dot(rng, tmp_path):
+    from epsilon_tpu.frontend import expression_vis
+    x = ep.Variable(3)
+    e = ep.norm1(x) + ep.sum_squares(x - rng.randn(3))
+    dot = expression_vis.to_dot(e)
+    assert dot.startswith("digraph") and "norm_p" in dot
+    p = tmp_path / "e.dot"
+    expression_vis.write_dot(e, str(p))
+    assert p.exists()
+
+
+def test_benchmark_graphs(tmp_path):
+    from epsilon_tpu.problems import benchmark_graph
+    results = [dict(name="lasso", time=1.0, objective=2.0),
+               dict(name="qp", time=0.5, objective=1.0)]
+    p1 = benchmark_graph.plot_results(results, str(tmp_path / "bars.png"))
+    p2 = benchmark_graph.plot_scaling([10, 100], [0.1, 0.5],
+                                      str(tmp_path / "scale.png"))
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+    from epsilon_tpu.utils import profile_trace
+    with profile_trace(str(tmp_path / "trace")):
+        (jnp.ones(4) * 2).block_until_ready()
