@@ -345,6 +345,12 @@ class ProxADMMSolver(SolverBase):
 
         # Per-term prox operators bound to the sqrt(rho)-scaled constraint
         # columns of the term's variables (prox_admm.cc:45-94)
+        self._build_term_ops(problem)
+
+        self._t_init = time.time() - t0
+        self._compiled = None
+
+    def _build_term_ops(self, problem: ProxProblem):
         self.term_ops = []
         self.AiT = []
         constr_vars = set(self.A.col_keys())
@@ -356,8 +362,8 @@ class ProxADMMSolver(SolverBase):
             self.term_ops.append(op)
             self.AiT.append(Ai.T)
 
-        self._t_init = time.time() - t0
-        self._compiled = None
+    def _rebuild_operators(self, problem: ProxProblem):
+        self._build_term_ops(problem)
 
     # -- iteration (traceable) ---------------------------------------------
     def _sweep(self, state):
