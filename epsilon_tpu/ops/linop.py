@@ -21,6 +21,7 @@ Kronecker identity is ``(A (x) B) vec(X) = vec(B X A^T)``
 from __future__ import annotations
 
 import abc
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -778,7 +779,8 @@ def multiply(lhs: LinOp, rhs: LinOp) -> LinOp:
 # the transfer.  Uploaded operands are cached by identity: the same data
 # matrix participates in several Schur products and the host<->device link
 # (axon tunnel) is the bottleneck, not the matmul.
-_DEVICE_GEMM_MIN_FLOPS = 5e10
+_DEVICE_GEMM_MIN_FLOPS = float(os.environ.get(
+    "EPSILON_TPU_DEVICE_GEMM_MIN_FLOPS", "5e10"))
 _DEVICE_OPERAND_CACHE: dict = {}
 
 

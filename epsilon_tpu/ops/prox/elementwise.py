@@ -225,7 +225,7 @@ def epi_sum_neg_log(v, s):
         x = prox_sum_neg_log(v, lam)
         return eval_sum_neg_log(x) - s - lam
 
-    inactive = jnp.all(v > 0) & (eval_sum_neg_log(jnp.maximum(v, 1e-300)) <= s)
+    inactive = jnp.all(v > 0) & (eval_sum_neg_log(jnp.maximum(v, jnp.finfo(v.dtype).tiny)) <= s)
     lam = bisect(lambda t: -g(t), jnp.asarray(0.0, v.dtype),
                  jnp.asarray(1e12, v.dtype), iters=110)
     x = prox_sum_neg_log(v, lam)
@@ -241,7 +241,7 @@ def epi_sum_neg_log(v, s):
 # ---------------------------------------------------------------------------
 
 def prox_sum_kl_div(u, v, lam):
-    eps = 1e-13
+    eps = 1e-13 if jnp.result_type(u) == jnp.float64 else 1e-6
     lam = jnp.broadcast_to(jnp.asarray(lam, dtype=u.dtype), u.shape)
 
     def g(r):
@@ -278,7 +278,8 @@ def epi_sum_kl_div(u, v, s):
         x, y = prox_sum_kl_div(u, v, lam)
         return eval_sum_kl_div(x, y) - s - lam
 
-    fv = eval_sum_kl_div(jnp.maximum(u, 1e-300), jnp.maximum(v, 1e-300))
+    fv = eval_sum_kl_div(jnp.maximum(u, jnp.finfo(u.dtype).tiny),
+                     jnp.maximum(v, jnp.finfo(v.dtype).tiny))
     inactive = jnp.all(u > 0) & jnp.all(v > 0) & (fv <= s)
     lam = bisect(lambda t: -g(t), jnp.asarray(1e-12, u.dtype),
                  jnp.asarray(1e12, u.dtype), iters=110)

@@ -69,7 +69,8 @@ def eval_sum_largest(x, k):
 
 def prox_norm2(v, lam):
     nrm = jnp.linalg.norm(v)
-    scale = jnp.maximum(0.0, 1.0 - lam / jnp.maximum(nrm, 1e-300))
+    tiny = jnp.finfo(v.dtype).tiny
+    scale = jnp.maximum(0.0, 1.0 - lam / jnp.maximum(nrm, tiny))
     return scale * v
 
 
@@ -80,10 +81,11 @@ def eval_norm2(x):
 def epi_norm2(v, s):
     """Projection onto the second-order cone {(x, t): ||x|| <= t}."""
     nrm = jnp.linalg.norm(v)
+    tiny = jnp.finfo(v.dtype).tiny
     inside = nrm <= s
     polar = nrm <= -s
     t = 0.5 * (nrm + s)
-    scale = t / jnp.maximum(nrm, 1e-300)
+    scale = t / jnp.maximum(nrm, tiny)
     x = jnp.where(inside, v, jnp.where(polar, 0.0, scale * v))
     tt = jnp.where(inside, s, jnp.where(polar, 0.0, t))
     return x, tt
@@ -97,9 +99,10 @@ def epi_norm2(v, s):
 def project_soc_rows(X, t, beta=1.0):
     """Project each row x_i of X and scalar t_i onto {||x|| <= beta*t}."""
     nrm = jnp.linalg.norm(X, axis=-1)
+    tiny = jnp.finfo(X.dtype).tiny
     beta2 = beta * beta
-    alpha = (beta2 + beta * t / jnp.maximum(nrm, 1e-300)) / (beta2 + 1.0)
-    inside = (nrm <= beta * t) | (nrm <= 1e-300)
+    alpha = (beta2 + beta * t / jnp.maximum(nrm, tiny)) / (beta2 + 1.0)
+    inside = (nrm <= beta * t) | (nrm <= tiny)
     polar = alpha < 0
     alpha = jnp.clip(alpha, 0.0, 1.0)
     alpha = jnp.where(inside, 1.0, alpha)
@@ -124,7 +127,8 @@ def prox_log_sum_exp(v, lam):
         Dinv_g = g / d
         Dinv_p = p / d
         denom = 1.0 - lam * jnp.dot(p, Dinv_p)
-        step = Dinv_g + lam * Dinv_p * jnp.dot(p, Dinv_g) / jnp.maximum(denom, 1e-300)
+        step = Dinv_g + lam * Dinv_p * jnp.dot(p, Dinv_g) \
+            / jnp.maximum(denom, jnp.finfo(x.dtype).tiny)
         return x - step
 
     x0 = v - lam * jax.nn.softmax(v)
