@@ -20,6 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPUs default matmuls to bf16 multiplication (fine for NN training, fatal
+# for ADMM KKT solves: cached-inverse applications lose ~8 mantissa bits and
+# the iteration diverges).  Force full f32 MXU passes; most of our matvecs
+# are bandwidth-bound so the throughput cost is small.
+if os.environ.get("EPSILON_TPU_MATMUL_PRECISION", "highest") != "default":
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("EPSILON_TPU_MATMUL_PRECISION", "highest"))
+
 # Density / size thresholds at which a scipy.sparse operand is densified when
 # frozen onto the device.  TPUs have no native sparse matmul; BCOO lowers to
 # gather/scatter which is usually slower than a dense MXU matmul unless the
