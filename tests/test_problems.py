@@ -49,13 +49,16 @@ def test_compiles(name, factory):
 
 
 @pytest.mark.parametrize("name", ["lasso", "least_abs_dev", "qp", "portfolio",
-                                  "tv_1d", "huber"])
+                                  "tv_1d", "huber", "chebyshev",
+                                  "infinite_push", "oneclass_svm",
+                                  "robust_svm", "max_softmax"])
 def test_solves(name):
     np.random.seed(0)
     factory = dict(GENERATORS)[name]
     prob = factory()
-    obj = prob.solve(rel_tol=1e-3, abs_tol=1e-5, max_iterations=4000)
+    obj = prob.solve(rel_tol=1e-3, abs_tol=1e-5, max_iterations=6000)
     assert np.isfinite(obj)
+    assert prob.status == "optimal"
 
 
 def test_benchmark_harness_smoke(capsys):
