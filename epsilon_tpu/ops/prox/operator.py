@@ -155,6 +155,15 @@ class VectorProxOperator(ProxOperator):
             p["k"] = self.spec.k
         return p
 
+    def apply_rho(self, v: BlockVector, rho) -> BlockVector:
+        """Apply at a traced penalty rho:  argmin alpha f(H x + g)
+        + rho/2 ||x - v||^2.  Only valid when the operator was built with
+        A = I (unit constraint metric): then B/C/D are rho-independent and
+        the penalty enters solely through lam -> lam/rho (epigraph
+        projections are rho-invariant).  This is what makes residual-
+        balancing adaptive rho free of refactorizations."""
+        return self.apply(v, rho=rho)
+
     def _kernel_args(self, u: BlockVector):
         dtype = config.default_dtype()
         vals = []
@@ -167,9 +176,9 @@ class VectorProxOperator(ProxOperator):
                 vals.append(jnp.zeros(dim, dtype=dtype))
         return vals
 
-    def _apply_kernel(self, vals: List[jnp.ndarray]):
+    def _apply_kernel(self, vals: List[jnp.ndarray], rho=None):
         spec, entry, p = self.spec, self.entry, self._params()
-        lam = self.lam
+        lam = self.lam if rho is None else self.lam / rho
 
         if spec.epigraph:
             epi = entry.epi or epigraph_via_bisection(spec.kind)
@@ -221,11 +230,11 @@ class VectorProxOperator(ProxOperator):
             return [linop.jvec(X)]
         return [entry.prox(vals[0], lam, **p)]
 
-    def apply(self, v: BlockVector) -> BlockVector:
+    def apply(self, v: BlockVector, rho=None) -> BlockVector:
         g = self.g.to_device()
         u = self.B.apply(v) + g
         vals = self._kernel_args(u)
-        outs = self._apply_kernel(vals)
+        outs = self._apply_kernel(vals, rho=rho)
         y = BlockVector({arg_key(i): outs[i] for i in range(len(outs))})
         x = self.C.apply(y - g)
         if self.D is not None:
@@ -377,6 +386,149 @@ class SecondOrderConeProxOperator(ProxOperator):
         out[self.x_key] = linop.jvec(Xp) - bx
         out[self.t_key] = tp - bt / self.a
         return out
+
+
+# ---------------------------------------------------------------------------
+# rho-parameterized operators (adaptive-rho two-block ADMM)
+# ---------------------------------------------------------------------------
+#
+# These solve  argmin_x alpha*f(H x + g) + rho/2 ||x - v||^2  with rho a
+# *traced* scalar, so residual-balancing adaptive rho (Boyd et al. 3.4.1)
+# costs no refactorization.  The reference cannot do this at all: its
+# factorizations bake sqrt(rho) into the KKT systems (prox_admm.cc:51
+# hard-requires rho == 1).  The TPU-native trick is the same one the
+# consensus solver uses: projections are rho-invariant, canonical kernels
+# take lam/rho, and quadratics apply through a cached eigendecomposition
+# (Q diag(1/(w+rho)) Q') instead of a Cholesky factor.
+
+
+class RhoProjectionOperator(ProxOperator):
+    """Wrapper for rho-invariant operators (indicators / projections:
+    ZERO, SOC, every epigraph): apply_rho ignores rho."""
+
+    def __init__(self, inner: ProxOperator):
+        self.inner = inner
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        return self.inner.apply(v)
+
+    def apply_rho(self, v: BlockVector, rho) -> BlockVector:
+        return self.inner.apply(v)
+
+
+class RhoAffineProxOperator(ProxOperator):
+    """f(x) = alpha*c'x (+ const) at penalty rho:  x = v - c/rho
+    (closed form of ``affine.cc:20-49`` in the unit metric)."""
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 var_dims: Dict[str, int]):
+        self.var_dims = dict(var_dims)
+        c: Dict[str, np.ndarray] = {}
+        if spec.kind == ProxKind.AFFINE:
+            for (r, ckey), op in affine_arg.A.blocks.items():
+                dense = op.as_dense()
+                assert dense.shape[0] == 1, "affine arg must be 1-row"
+                vec = dense[0] * spec.alpha
+                c[ckey] = c[ckey] + vec if ckey in c else vec
+        self._c_host = {k: np.asarray(v, dtype=np.float64)
+                        for k, v in c.items()}
+
+    def apply_rho(self, v: BlockVector, rho) -> BlockVector:
+        from ..linop import _to_device
+        dtype = config.default_dtype()
+        out = {}
+        for k, n in self.var_dims.items():
+            vk = v.get(k, n)
+            if k in self._c_host:
+                ck = _to_device(self._c_host[k]).astype(dtype)
+                vk = vk - ck / rho
+            out[k] = vk
+        return BlockVector(out)
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        return self.apply_rho(v, 1.0)
+
+
+class RhoSumSquareProxOperator(ProxOperator):
+    """f = alpha*||H x + g||^2 at penalty rho:
+        x = Q diag(1/(w + rho)) Q' (rho v - 2 alpha H'g),
+    where Q w Q' = eigh(2 alpha H'H), cached once at init — the
+    eigendecomposition analogue of the reference's cached Cholesky
+    (``sum_square.cc:12-31``) that stays valid for every rho."""
+
+    def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
+                 var_dims: Dict[str, int]):
+        H, g = affine_arg.A, affine_arg.b
+        self.col_keys = sorted(var_dims)
+        self.var_dims = dict(var_dims)
+        # dense H with rows/cols in sorted-key order (cols may include
+        # variables H never touches; pad with zero columns)
+        rows = H.row_keys()
+        m = sum(H.row_dim(r) for r in rows)
+        n = sum(var_dims[k] for k in self.col_keys)
+        Hd = np.zeros((m, n))
+        roff = {}
+        acc = 0
+        for r in rows:
+            roff[r] = acc
+            acc += H.row_dim(r)
+        coff = {}
+        acc = 0
+        for k in self.col_keys:
+            coff[k] = acc
+            acc += var_dims[k]
+        for (r, c), op in H.blocks.items():
+            Hd[roff[r]:roff[r] + op.m, coff[c]:coff[c] + op.n] = op.as_dense()
+        g_flat = np.zeros(m)
+        for r, val in g.items():
+            g_flat[roff[r]:roff[r] + len(np.asarray(val))] = np.asarray(val)
+        G = 2.0 * spec.alpha * (Hd.T @ Hd)
+        w, Q = np.linalg.eigh(G)
+        self._w_host = np.maximum(w, 0.0)  # G is PSD; clip eigh noise
+        self._Q_host = Q
+        self._r0_host = -2.0 * spec.alpha * (Hd.T @ g_flat)
+        self._coff = coff
+
+    def apply_rho(self, v: BlockVector, rho) -> BlockVector:
+        from ..linop import _to_device
+        dtype = config.default_dtype()
+        Q = _to_device(self._Q_host).astype(dtype)
+        w = _to_device(self._w_host).astype(dtype)
+        r0 = _to_device(self._r0_host).astype(dtype)
+        parts = [v.get(k, self.var_dims[k]) for k in self.col_keys]
+        flat = jnp.concatenate(parts) if parts else jnp.zeros(0, dtype=dtype)
+        t = rho * flat + r0
+        x = Q @ ((Q.T @ t) / (w + rho))
+        return BlockVector({k: x[self._coff[k]:self._coff[k] + self.var_dims[k]]
+                            for k in self.col_keys})
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        return self.apply_rho(v, 1.0)
+
+
+def create_rho_prox_operator(spec: ProxFunctionSpec,
+                             affine_arg: AffineOperator,
+                             var_dims: Dict[str, int]) -> ProxOperator:
+    """Factory for rho-parameterized operators in the unit constraint
+    metric (A = I over ``var_dims``); every returned operator supports
+    ``apply_rho(v, rho)`` with traced rho."""
+    kind = spec.kind
+    eye = BlockMatrix({(k, k): linop.identity(n)
+                       for k, n in var_dims.items()})
+    unit = AffineOperator(eye, BlockVector())
+    if kind == ProxKind.ZERO:
+        return RhoProjectionOperator(ZeroProxOperator(spec, affine_arg, unit))
+    if kind in (ProxKind.AFFINE, ProxKind.CONSTANT):
+        return RhoAffineProxOperator(spec, affine_arg, var_dims)
+    if kind == ProxKind.SUM_SQUARE and not spec.epigraph:
+        return RhoSumSquareProxOperator(spec, affine_arg, var_dims)
+    if kind == ProxKind.SECOND_ORDER_CONE:
+        return RhoProjectionOperator(
+            SecondOrderConeProxOperator(spec, affine_arg, unit))
+    op = VectorProxOperator(spec, affine_arg, unit)
+    if spec.epigraph:
+        return RhoProjectionOperator(op)
+    return op  # VectorProxOperator.apply_rho handles lam/rho
 
 
 # ---------------------------------------------------------------------------

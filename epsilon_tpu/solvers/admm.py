@@ -129,11 +129,14 @@ class ProxADMMTwoBlockSolver(SolverBase):
     def __init__(self, problem: ProxProblem, params: SolverParams):
         super().__init__(problem, params)
         t0 = time.time()
-        sqrt_rho = float(np.sqrt(params.rho))
+        self.adaptive = params.adaptive_rho
+        sqrt_rho = 1.0 if self.adaptive else float(np.sqrt(params.rho))
         self.sqrt_rho = sqrt_rho
 
         # Constraint projection operator over all constraint variables
-        # (prox_admm_two_block.cc:21-50)
+        # (prox_admm_two_block.cc:21-50); in adaptive-rho mode the metric is
+        # the identity (the projection is rho-invariant) and rho enters the
+        # term proxes as a traced scalar instead.
         Hc = BlockMatrix()
         gc = BlockVector()
         self.z_dims: Dict[str, int] = {}
@@ -172,15 +175,22 @@ class ProxADMMTwoBlockSolver(SolverBase):
         self._compiled = None
 
     def _build_term_ops(self, problem: ProxProblem):
+        from ..ops.prox.operator import create_rho_prox_operator
         sqrt_rho = self.sqrt_rho
         self.term_ops = []
         self.term_vars: List[List[str]] = []
         for term in problem.terms:
             tvars = sorted({c for (_, c) in term.H.A.blocks})
-            A = BlockMatrix({(k, k): linop.scalar(sqrt_rho, problem.var_dims[k])
-                             for k in tvars})
-            op = create_prox_operator(term.spec, term.H,
-                                      AffineOperator(A, BlockVector()))
+            if self.adaptive:
+                op = create_rho_prox_operator(
+                    term.spec, term.H,
+                    {k: problem.var_dims[k] for k in tvars})
+            else:
+                A = BlockMatrix({(k, k): linop.scalar(sqrt_rho,
+                                                      problem.var_dims[k])
+                                 for k in tvars})
+                op = create_prox_operator(term.spec, term.H,
+                                          AffineOperator(A, BlockVector()))
             self.term_ops.append(op)
             self.term_vars.append(tvars)
 
@@ -191,11 +201,18 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
     # -- iteration bodies (traceable) --------------------------------------
     def _iter_body(self, state):
-        z, u = state
+        if self.adaptive:
+            z, u, rho = state
+        else:
+            z, u = state
+            rho = None
         zu = z - u
         x = _zeros(self.all_dims)
         for op in self.term_ops:
-            x = x + op.apply(self.sqrt_rho * zu)
+            if self.adaptive:
+                x = x + op.apply_rho(zu, rho)
+            else:
+                x = x + op.apply(self.sqrt_rho * zu)
         alpha = self.params.over_relaxation
         x_hat = x if alpha == 1.0 else alpha * x + (1.0 - alpha) * z
         xu = x_hat + u
@@ -207,11 +224,16 @@ class ProxADMMTwoBlockSolver(SolverBase):
         else:
             z_new = xu
         u_new = u + x_hat - z_new
-        return (z_new, u_new), x
+        new_state = ((z_new, u_new, rho) if self.adaptive
+                     else (z_new, u_new))
+        return new_state, x
 
     def _residuals(self, state, x, z_prev):
-        z, u = state
-        rho = self.params.rho
+        if self.adaptive:
+            z, u, rho = state
+        else:
+            z, u = state
+            rho = self.params.rho
         abs_tol, rel_tol = self.params.abs_tol, self.params.rel_tol
         sqrt_n = float(np.sqrt(max(self.n, 1)))
         r_norm = (x - z).norm()
@@ -237,6 +259,16 @@ class ProxADMMTwoBlockSolver(SolverBase):
             0, self.params.epoch_iterations, body, (state, self._x_zeros()))
         res = self._residuals(state, x, z_prev)
         conv = (res[0] <= res[2]) & (res[1] <= res[3])
+        if self.adaptive:
+            # residual balancing: keep ||r|| and ||s|| within a factor mu,
+            # rescaling the scaled dual u when rho changes (Boyd 3.4.1)
+            z, u, rho = state
+            mu, tau = self.params.rho_mu, self.params.rho_tau
+            grow = res[0] > mu * res[1]
+            shrink = res[1] > mu * res[0]
+            factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau, 1.0))
+            factor = factor.astype(rho.dtype)
+            state = (z, (1.0 / factor) * u, rho * factor)
         return state, x, res, conv
 
     def _init_state(self):
@@ -244,20 +276,27 @@ class ProxADMMTwoBlockSolver(SolverBase):
             return self._warm_state
         z = _zeros(self.all_dims)
         u = _zeros(self.all_dims)
+        if self.adaptive:
+            rho = jnp.asarray(self.params.rho, dtype=config.default_dtype())
+            return (z, u, rho)
         return (z, u)
 
     def solve(self) -> BlockVector:
         t0 = time.time()
+        if self.adaptive != self.params.adaptive_rho:
+            # mode flipped on a cached solver: rebuild everything (the state
+            # pytree and prox parameterization differ between modes)
+            self.__init__(self.problem, self.params)
         state = self._init_state()
         epoch_iters = self.params.epoch_iterations
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
 
         if self.params.drive == "device":
-            if self._compiled is None or self._compiled_key != (
-                    max_epochs, epoch_iters, self.params.rel_tol,
-                    self.params.abs_tol):
-                self._compiled_key = (max_epochs, epoch_iters,
-                                      self.params.rel_tol, self.params.abs_tol)
+            key = (max_epochs, epoch_iters, self.params.rel_tol,
+                   self.params.abs_tol, self.params.over_relaxation,
+                   self.adaptive, self.params.rho_mu, self.params.rho_tau)
+            if self._compiled is None or self._compiled_key != key:
+                self._compiled_key = key
                 self._compiled = None
             if self._compiled is None:
                 lifter, const_args = self._lift_constants(state)
@@ -324,6 +363,9 @@ class ProxADMMSolver(SolverBase):
         super().__init__(problem, params)
         if params.rho != 1.0:
             raise ValueError("ProxADMMSolver requires rho == 1")
+        if params.adaptive_rho:
+            raise ValueError("adaptive_rho is only supported by the "
+                             "two-block solver (PROX_ADMM_TWO_BLOCK)")
         t0 = time.time()
 
         # Global constraint operator (prox_admm.cc:24-42)

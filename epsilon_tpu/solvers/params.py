@@ -22,6 +22,14 @@ class SolverParams:
     # over-relaxation alpha in (0, 2): x_hat = alpha*x + (1-alpha)*z in the
     # z/u updates (Boyd et al. sec. 3.4.3); 1.0 = plain ADMM
     over_relaxation: float = 1.0
+    # residual-balancing adaptive rho (Boyd et al. sec. 3.4.1), two-block
+    # solver only: rho is carried in the jitted loop state; prox applies are
+    # rho-parameterized (eigendecomposition caches instead of Cholesky) so
+    # rho changes cost nothing.  rho grows by rho_tau when the primal
+    # residual exceeds rho_mu times the dual residual, and vice versa.
+    adaptive_rho: bool = False
+    rho_mu: float = 10.0
+    rho_tau: float = 2.0
     epoch_iterations: int = 10
     log_iterations: int = 100
     # compiler toggle (solver_params.proto:60)
