@@ -18,6 +18,7 @@ Both run either as a single jitted ``lax.while_loop`` over epochs
 
 from __future__ import annotations
 
+import inspect
 import logging
 import time
 from functools import partial
@@ -81,13 +82,25 @@ class SolverBase:
     def objective_value(self, x: BlockVector):
         return problem_objective(self.problem, x)
 
+    def _shard_wrap(self, fn):
+        """Wrap a traceable fn in shard_map over the term mesh (all inputs/
+        outputs replicated; the sharding is in the lax.switch bucket
+        dispatch + psum inside). Identity when no mesh is configured."""
+        mesh = getattr(self, "mesh", None)
+        if mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        n_in = len(inspect.signature(fn).parameters)
+        return jax.shard_map(fn, mesh=mesh, in_specs=tuple([P()] * n_in),
+                             out_specs=P(), check_vma=False)
+
     def _lift_constants(self, state):
         """Record every frozen host array the epoch touches and return the
         (lifter, device_args) pair: problem data is passed to jit as
         arguments, not baked into the HLO as constants (keeps compiles fast
         and allows data updates without recompilation)."""
         with lift_collect() as lifter:
-            jax.eval_shape(self._epoch, state)
+            jax.eval_shape(self._shard_wrap(self._epoch), state)
         return lifter, lifter.device_args()
 
     def _rebuild_operators(self, problem: ProxProblem):
@@ -105,7 +118,8 @@ class SolverBase:
         if self._compiled is not None:
             run, _old = self._compiled
             with lift_collect() as lifter:
-                jax.eval_shape(self._epoch, self._init_state())
+                jax.eval_shape(self._shard_wrap(self._epoch),
+                               self._init_state())
             self._compiled = (run, lifter.device_args())
 
     def _finish(self, state, iters, res, converged, t_init, t_solve):
@@ -171,8 +185,39 @@ class ProxADMMTwoBlockSolver(SolverBase):
             for v in tvars:
                 self.all_dims[v] = problem.var_dims[v]
 
+        # Term sharding: balance terms into one bucket per mesh device
+        # (greedy longest-processing-time on the H nnz cost model); each
+        # device executes its bucket via lax.switch(axis_index) and the
+        # x contributions combine with a psum over the mesh axis.
+        self.mesh = params.mesh
+        self.axis_name = None
+        self.buckets: Optional[List[List[int]]] = None
+        if self.mesh is not None:
+            if len(self.mesh.axis_names) != 1:
+                raise ValueError("term sharding requires a 1-D mesh")
+            self.axis_name = self.mesh.axis_names[0]
+            self.buckets = self._partition_terms(self.mesh.devices.size)
+
         self._t_init = time.time() - t0
         self._compiled = None
+
+    def _partition_terms(self, n_buckets: int) -> List[List[int]]:
+        costs = []
+        for i, term in enumerate(self.problem.terms):
+            nnz = sum(op.nnz() for op in term.H.A.blocks.values())
+            # KKT-based operators pay an extra dense solve over their vars
+            tn = sum(self.problem.var_dims[v] for v in self.term_vars[i])
+            if term.spec.kind in (ProxKind.ZERO, ProxKind.AFFINE,
+                                  ProxKind.CONSTANT, ProxKind.SUM_SQUARE):
+                nnz += tn * tn
+            costs.append((nnz, i))
+        buckets: List[List[int]] = [[] for _ in range(n_buckets)]
+        loads = [0] * n_buckets
+        for cost, i in sorted(costs, reverse=True):
+            j = int(np.argmin(loads))
+            buckets[j].append(i)
+            loads[j] += cost
+        return buckets
 
     def _build_term_ops(self, problem: ProxProblem):
         from ..ops.prox.operator import create_rho_prox_operator
@@ -207,12 +252,15 @@ class ProxADMMTwoBlockSolver(SolverBase):
             z, u = state
             rho = None
         zu = z - u
-        x = _zeros(self.all_dims)
-        for op in self.term_ops:
-            if self.adaptive:
-                x = x + op.apply_rho(zu, rho)
-            else:
-                x = x + op.apply(self.sqrt_rho * zu)
+        if self.mesh is not None:
+            x = self._sharded_x_update(zu, rho)
+        else:
+            x = _zeros(self.all_dims)
+            for op in self.term_ops:
+                if self.adaptive:
+                    x = x + op.apply_rho(zu, rho)
+                else:
+                    x = x + op.apply(self.sqrt_rho * zu)
         alpha = self.params.over_relaxation
         x_hat = x if alpha == 1.0 else alpha * x + (1.0 - alpha) * z
         xu = x_hat + u
@@ -227,6 +275,36 @@ class ProxADMMTwoBlockSolver(SolverBase):
         new_state = ((z_new, u_new, rho) if self.adaptive
                      else (z_new, u_new))
         return new_state, x
+
+    def _sharded_x_update(self, zu, rho):
+        """x-update under shard_map: each device runs its term bucket
+        (lax.switch on the device index) and a psum over the mesh axis
+        combines the per-variable contributions — the heterogeneous-term
+        analogue of the consensus solver's scenario sharding."""
+        keys = sorted(self.all_dims)
+        offs = {}
+        acc = 0
+        for k in keys:
+            offs[k] = acc
+            acc += self.all_dims[k]
+
+        def make_branch(bucket):
+            def branch(zu):
+                x = _zeros(self.all_dims)
+                for ti in bucket:
+                    op = self.term_ops[ti]
+                    if self.adaptive:
+                        x = x + op.apply_rho(zu, rho)
+                    else:
+                        x = x + op.apply(self.sqrt_rho * zu)
+                flat, _ = x.pack(keys)
+                return flat
+            return branch
+
+        idx = jax.lax.axis_index(self.axis_name)
+        flat = jax.lax.switch(idx, [make_branch(b) for b in self.buckets], zu)
+        flat = jax.lax.psum(flat, self.axis_name)
+        return BlockVector.unpack(flat, offs, self.all_dims)
 
     def _residuals(self, state, x, z_prev):
         if self.adaptive:
@@ -283,7 +361,8 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
     def solve(self) -> BlockVector:
         t0 = time.time()
-        if self.adaptive != self.params.adaptive_rho:
+        if (self.adaptive != self.params.adaptive_rho
+                or self.mesh is not self.params.mesh):
             # mode flipped on a cached solver: rebuild everything (the state
             # pytree and prox parameterization differ between modes)
             self.__init__(self.problem, self.params)
@@ -294,14 +373,14 @@ class ProxADMMTwoBlockSolver(SolverBase):
         if self.params.drive == "device":
             key = (max_epochs, epoch_iters, self.params.rel_tol,
                    self.params.abs_tol, self.params.over_relaxation,
-                   self.adaptive, self.params.rho_mu, self.params.rho_tau)
+                   self.adaptive, self.params.rho_mu, self.params.rho_tau,
+                   id(self.mesh))
             if self._compiled is None or self._compiled_key != key:
                 self._compiled_key = key
                 self._compiled = None
             if self._compiled is None:
                 lifter, const_args = self._lift_constants(state)
 
-                @jax.jit
                 def run(state, consts):
                     with lift_apply(lifter, consts):
                         def cond(carry):
@@ -321,6 +400,7 @@ class ProxADMMTwoBlockSolver(SolverBase):
                                  jnp.asarray(False))
                         return jax.lax.while_loop(cond, body, carry)
 
+                run = jax.jit(self._shard_wrap(run))
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
             state, x, iters, res, conv = run(state, const_args)
@@ -328,13 +408,14 @@ class ProxADMMTwoBlockSolver(SolverBase):
         else:
             lifter, const_args = self._lift_constants(state)
 
-            def epoch_fn(state, _consts=const_args):
-                return _epoch_jit(state, _consts)
-
-            @jax.jit
-            def _epoch_jit(state, consts):
+            def _epoch_raw(state, consts):
                 with lift_apply(lifter, consts):
                     return self._epoch(state)
+
+            _epoch_jit = jax.jit(self._shard_wrap(_epoch_raw))
+
+            def epoch_fn(state, _consts=const_args):
+                return _epoch_jit(state, _consts)
             iters, conv = 0, False
             x = res = None
             series = []
@@ -365,6 +446,9 @@ class ProxADMMSolver(SolverBase):
             raise ValueError("ProxADMMSolver requires rho == 1")
         if params.adaptive_rho:
             raise ValueError("adaptive_rho is only supported by the "
+                             "two-block solver (PROX_ADMM_TWO_BLOCK)")
+        if params.mesh is not None:
+            raise ValueError("term sharding (mesh) is only supported by the "
                              "two-block solver (PROX_ADMM_TWO_BLOCK)")
         t0 = time.time()
 

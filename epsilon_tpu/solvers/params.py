@@ -41,6 +41,14 @@ class SolverParams:
     # 'device': whole solve is one jitted while_loop (fastest);
     # 'host': python epoch loop with logging/callbacks per epoch.
     drive: str = "device"
+    # Term sharding (two-block solver): a 1-D jax.sharding.Mesh over which
+    # prox TERMS are partitioned into per-device buckets (heterogeneous
+    # dispatch via lax.switch on the device index inside shard_map); the
+    # x-update runs one bucket per device and psum combines contributions.
+    # None = single device. This is the scale-out path for problems whose
+    # objective has many terms (the consensus solver in parallel/ covers
+    # the many-scenario-blocks case).
+    mesh: object = None
 
     def __post_init__(self):
         if isinstance(self.solver, str):

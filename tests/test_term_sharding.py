@@ -1,0 +1,170 @@
+"""Term-sharded two-block ADMM over a device mesh.
+
+The two-block x-update is embarrassingly parallel over prox TERMS
+(``prox_admm_two_block.cc:102-107``).  The consensus solver in parallel/
+shards homogeneous scenario blocks; this mode shards *heterogeneous* terms:
+each device executes its bucket of term proxes (lax.switch on the device
+index inside shard_map) and a psum over the mesh axis combines the
+contributions.  Tests run on the virtual 8-device CPU mesh (conftest).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from epsilon_tpu.ir import (AffineOperator, Cone, ConeConstraint,
+                            ProxFunctionSpec, ProxKind, ProxProblem, ProxTerm,
+                            arg_key)
+from epsilon_tpu.ops import linop
+from epsilon_tpu.ops.block import BlockMatrix, BlockVector
+from epsilon_tpu.solvers import ProxADMMTwoBlockSolver, SolverParams
+
+from test_solvers import lasso_oracle, make_lasso_problem, _lasso_objective
+
+
+def term_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("terms",))
+
+
+def make_multi_term_problem(rng, n=12, n_groups=4):
+    """min sum_square(A x - b) + sum_g lam_g ||x_g||_2 over groups +
+    norm1(y)  s.t. x = y — a heterogeneous mix of KKT, vector, and
+    elementwise terms sharing consensus variables."""
+    m = 3 * n
+    A = rng.randn(m, n)
+    x_true = rng.randn(n) * (rng.rand(n) < 0.5)
+    b = A @ x_true + 0.05 * rng.randn(m)
+    gs = n // n_groups
+
+    terms = [
+        ProxTerm(
+            spec=ProxFunctionSpec(kind=ProxKind.SUM_SQUARE, alpha=0.5),
+            H=AffineOperator(
+                BlockMatrix({(arg_key(0), "x"): linop.dense(A)}),
+                BlockVector({arg_key(0): jnp.asarray(-b)}))),
+        ProxTerm(
+            spec=ProxFunctionSpec(kind=ProxKind.NORM_1, alpha=0.2),
+            H=AffineOperator(
+                BlockMatrix({(arg_key(0), "y"): linop.identity(n)}),
+                BlockVector())),
+    ]
+    for g in range(n_groups):
+        terms.append(ProxTerm(
+            spec=ProxFunctionSpec(kind=ProxKind.NORM_2, alpha=0.1),
+            H=AffineOperator(
+                BlockMatrix({(arg_key(0), f"w{g}"): linop.identity(gs)}),
+                BlockVector())))
+    cons = [ConeConstraint(
+        cone=Cone.ZERO,
+        op=AffineOperator(
+            BlockMatrix({("c", "x"): linop.identity(n),
+                         ("c", "y"): linop.scalar(-1.0, n)}),
+            BlockVector()))]
+    for g in range(n_groups):
+        sel = np.zeros((gs, n))
+        sel[np.arange(gs), g * gs + np.arange(gs)] = 1.0
+        cons.append(ConeConstraint(
+            cone=Cone.ZERO,
+            op=AffineOperator(
+                BlockMatrix({(f"cw{g}", "x"): linop.dense(sel),
+                             (f"cw{g}", f"w{g}"): linop.scalar(-1.0, gs)}),
+                BlockVector())))
+    var_dims = {"x": n, "y": n}
+    var_shapes = {"x": (n, 1), "y": (n, 1)}
+    for g in range(n_groups):
+        var_dims[f"w{g}"] = gs
+        var_shapes[f"w{g}"] = (gs, 1)
+    return ProxProblem(terms=terms, constraints=cons,
+                       var_dims=var_dims, var_shapes=var_shapes)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_matches_sequential(rng, n_dev):
+    prob = make_multi_term_problem(rng)
+    params = dict(rel_tol=1e-6, abs_tol=1e-8, max_iterations=4000)
+
+    seq = ProxADMMTwoBlockSolver(
+        make_multi_term_problem(np.random.RandomState(0)),
+        SolverParams(**params))
+    x_seq = seq.solve()
+
+    shd = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(n_dev), **params))
+    x_shd = shd.solve()
+
+    assert shd.buckets is not None and len(shd.buckets) == n_dev
+    assert sorted(i for b in shd.buckets for i in b) == list(
+        range(len(prob.terms)))
+    np.testing.assert_allclose(np.asarray(x_shd["x"]),
+                               np.asarray(x_seq["x"]), rtol=1e-5, atol=1e-7)
+    assert shd.status.num_iterations == seq.status.num_iterations
+
+
+@pytest.mark.parametrize("drive", ["device", "host"])
+def test_sharded_lasso_oracle(rng, drive):
+    m, n = 30, 15
+    A = rng.randn(m, n)
+    b = A @ (rng.randn(n) * (rng.rand(n) < 0.3)) + 0.1 * rng.randn(m)
+    lam = 0.5
+    prob = make_lasso_problem(A, b, lam)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(rel_tol=1e-5, abs_tol=1e-7, max_iterations=5000,
+                           mesh=term_mesh(2), drive=drive))
+    sol = solver.solve()
+    x = np.asarray(sol["x"])
+    x_o = lasso_oracle(A, b, lam)
+    obj_ours = _lasso_objective(A, b, lam, x)
+    obj_oracle = _lasso_objective(A, b, lam, x_o)
+    assert obj_ours <= obj_oracle + 1e-3 * abs(obj_oracle) + 1e-5
+
+
+def test_sharded_more_devices_than_terms(rng):
+    # 8 devices, 2 terms: empty buckets must contribute zeros
+    m, n = 20, 10
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+    prob = make_lasso_problem(A, b, 0.3)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(rel_tol=1e-5, abs_tol=1e-7, max_iterations=5000,
+                           mesh=term_mesh(8)))
+    sol = solver.solve()
+    x_o = lasso_oracle(A, b, 0.3)
+    obj = _lasso_objective(A, b, 0.3, np.asarray(sol["x"]))
+    obj_o = _lasso_objective(A, b, 0.3, x_o)
+    assert obj <= obj_o + 1e-3 * abs(obj_o) + 1e-5
+
+
+def test_sharded_adaptive_rho(rng):
+    # term sharding composes with adaptive rho (rho replicated in state)
+    m, n = 30, 15
+    A = 20.0 * rng.randn(m, n)
+    b = A @ (rng.randn(n) * (rng.rand(n) < 0.4)) + 0.1 * rng.randn(m)
+    lam = 4.0
+    prob = make_lasso_problem(A, b, lam)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(rel_tol=1e-4, abs_tol=1e-7, max_iterations=20000,
+                           mesh=term_mesh(2), adaptive_rho=True))
+    sol = solver.solve()
+    x_o = lasso_oracle(A, b, lam)
+    obj = _lasso_objective(A, b, lam, np.asarray(sol["x"]))
+    obj_o = _lasso_objective(A, b, lam, x_o)
+    assert obj <= obj_o + 1e-2 * abs(obj_o) + 1e-4
+
+
+def test_nblock_rejects_mesh(rng):
+    from epsilon_tpu.solvers import ProxADMMSolver
+    prob = make_lasso_problem(rng.randn(10, 5), rng.randn(10), 0.1)
+    with pytest.raises(ValueError, match="mesh"):
+        ProxADMMSolver(prob, SolverParams(mesh=term_mesh(2)))
+
+
+def test_bucket_balancing(rng):
+    # LPT partition: every bucket non-trivially loaded when terms >> devices
+    prob = make_multi_term_problem(rng, n=16, n_groups=8)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), max_iterations=10))
+    sizes = [len(b) for b in solver.buckets]
+    assert sum(sizes) == len(prob.terms)
+    assert all(s >= 1 for s in sizes)
