@@ -70,11 +70,30 @@ class SolverBase:
         self._warm_state = None
         self._compiled_key = None
         self._stop_callbacks = []
+        self._checkpointer = None
 
     def register_stop_callback(self, cb):
         """External cancellation hook (``solver.h:60-63``,
         ``solver.cc:102-107``): checked between epochs in host drive."""
         self._stop_callbacks.append(cb)
+
+    def attach_checkpointer(self, ckpt):
+        """Elastic recovery: durable checkpoints of the loop state (see
+        :class:`epsilon_tpu.utils.checkpoint.SolverCheckpointer`).  Host
+        drive saves every ``ckpt.every_epochs`` epochs and resumes from the
+        latest checkpoint; device drive resumes at start and saves once at
+        the end (the loop runs entirely on device between syncs)."""
+        self._checkpointer = ckpt
+
+    def _resume_state(self, state):
+        """(state, start_iters) from the latest checkpoint, if any."""
+        if self._checkpointer is None:
+            return state, 0
+        restored, step = self._checkpointer.restore(state)
+        if restored is None:
+            return state, 0
+        logger.info("resuming from checkpoint at iteration %d", step)
+        return restored, step
 
     def _has_external_stop(self) -> bool:
         return any(cb() for cb in self._stop_callbacks)
@@ -403,8 +422,12 @@ class ProxADMMTwoBlockSolver(SolverBase):
                 run = jax.jit(self._shard_wrap(run))
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
+            state, start_iters = self._resume_state(state)
             state, x, iters, res, conv = run(state, const_args)
             x = jax.block_until_ready(x)
+            iters = int(iters) + start_iters
+            if self._checkpointer is not None:
+                self._checkpointer.save(iters, state)
         else:
             lifter, const_args = self._lift_constants(state)
 
@@ -416,15 +439,18 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
             def epoch_fn(state, _consts=const_args):
                 return _epoch_jit(state, _consts)
-            iters, conv = 0, False
+            state, iters = self._resume_state(state)
+            conv = False
             x = res = None
             series = []
-            while (iters < self.params.max_iterations and not conv
-                   and not self._has_external_stop()):
+            while x is None or (iters < self.params.max_iterations and not conv
+                                and not self._has_external_stop()):
                 state, x, res, conv = epoch_fn(state)
                 conv = bool(conv)
                 iters += epoch_iters
                 series.append(Residuals(*[float(v) for v in res]))
+                if self._checkpointer is not None:
+                    self._checkpointer.maybe_save(iters, state)
                 if self.params.verbose and (iters % self.params.log_iterations
                                             < epoch_iters):
                     self.status.num_iterations = iters
@@ -605,8 +631,12 @@ class ProxADMMSolver(SolverBase):
 
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
+            state, start_iters = self._resume_state(state)
             state, xs, iters, res, conv = run(state, const_args)
             xs = jax.block_until_ready(xs)
+            iters = int(iters) + start_iters
+            if self._checkpointer is not None:
+                self._checkpointer.save(iters, state)
         else:
             lifter, const_args = self._lift_constants(state)
 
@@ -617,15 +647,19 @@ class ProxADMMSolver(SolverBase):
             def _epoch_jit(state, consts):
                 with lift_apply(lifter, consts):
                     return self._epoch(state)
-            iters, conv = 0, False
+            state, iters = self._resume_state(state)
+            conv = False
             xs = res = None
             series = []
-            while (iters < self.params.max_iterations and not conv
-                   and not self._has_external_stop()):
+            while xs is None or (iters < self.params.max_iterations
+                                 and not conv
+                                 and not self._has_external_stop()):
                 state, xs, res, conv = epoch_fn(state)
                 conv = bool(conv)
                 iters += epoch_iters
                 series.append(Residuals(*[float(v) for v in res]))
+                if self._checkpointer is not None:
+                    self._checkpointer.maybe_save(iters, state)
                 if self.params.verbose and (iters % self.params.log_iterations
                                             < epoch_iters):
                     self.status.num_iterations = iters
