@@ -262,8 +262,14 @@ def transform_power(e):
         pf, w = _pow_mid(p)
         constrs = gm_constrs(t, [x, one], w)
     else:
+        # p > 1: power(x, p) = |x|^p (cvxpy semantics) — the geo-mean
+        # epigraph u <= gm(t, 1; w) is monotone in u, so it must bind on
+        # |x|, not x (for negative x the one-sided constraint is vacuous
+        # and the epigraph collapses to 0)
         pf, w = _pow_high(p)
-        constrs = gm_constrs(x, [t, one], w)
+        u = _epi_var(e, "power_abs")
+        constrs = [ex.leq_constraint(x, u), ex.leq_constraint(ex.negate(x), u)]
+        constrs += gm_constrs(u, [t, one], w)
     return t, constrs
 
 
