@@ -408,6 +408,21 @@ prox_norm_2 = _vector_rule(
                             e.attr["p"] == 2 and e.attr.get("axis") is None)
     else None)
 
+# Direct kernels beyond reference parity: the reference routes norm_inf and
+# sigma_max through the conic fallback (``conic.py:15-43`` p=inf branch and
+# the SDP embedding at ``conic.py:176-186``); here both match a direct
+# sort-based / SVD-based prox instead.
+prox_norm_inf = _vector_rule(
+    ProxKind.NORM_INF,
+    lambda e: e.args[0] if (e.expr_type == ExprType.NORM_P and
+                            e.attr["p"] == float("inf") and
+                            e.attr.get("axis") is None)
+    else None)
+
+prox_sigma_max = _vector_rule(
+    ProxKind.SIGMA_MAX,
+    lambda e: e.args[0] if e.expr_type == ExprType.SIGMA_MAX else None)
+
 prox_sum_largest = _vector_rule(
     ProxKind.SUM_LARGEST,
     lambda e: (e.args[0], {"k": e.attr["k"]})
@@ -505,7 +520,11 @@ def epigraph(e):
             term.spec.arg_sizes = list(term.spec.arg_sizes) + [_dims(t_expr)]
             t_fold = fold_affine(t_expr) if t_expr.dcp_props.affine else None
             constrs = []
-            if t_fold is None or not fold_is_scalar(t_fold):
+            # A constant bound (f(x) <= c) must still introduce a pinned
+            # t-variable: the joint (x, t) epigraph projection needs a real
+            # variable to carry t, else the projected t is dropped and the
+            # constraint silently never binds.
+            if t_fold is None or not fold_is_scalar(t_fold) or not t_fold.maps:
                 t_new, constrs = epi_transform(t_expr, "scalar")
                 t_fold = fold_affine(t_new)
             term.args.append(t_fold)
@@ -551,10 +570,12 @@ BASE_RULES = [
     prox_log_det,
     prox_norm_nuclear,
     prox_semidefinite_rule,
+    prox_sigma_max,
     # Vector
     prox_log_sum_exp,
     prox_max,
     prox_norm_2,
+    prox_norm_inf,
     prox_second_order_cone,
     prox_sum_largest,
     prox_total_variation_1d,

@@ -103,3 +103,32 @@ def epi_norm_nuclear(V, s):
     # keep singular values non-negative (projection of a nonneg vector onto
     # the norm-1 epigraph stays nonneg, so this is a no-op numerically)
     return (U * x[..., None, :]) @ Vt, t
+
+
+# ---------------------------------------------------------------------------
+# sigma_max: f(X) = largest singular value (spectral norm)
+# The reference has NO direct kernel — it falls back to an (m+n)x(m+n) SDP
+# embedding (``conic.py:176-186`` transform_sigma_max), which costs a full
+# eigh of the embedding per ADMM iteration plus m^2+n^2 extra variables.
+# Direct TPU kernel: sigma_max = ||sigma(X)||_inf is an absolutely symmetric
+# gauge of the spectrum, so by the Lewis/von Neumann transfer theorem its
+# prox is U diag(prox_norm_inf(sigma)) V^T — one SVD, no embedding.
+# ---------------------------------------------------------------------------
+
+def prox_sigma_max(V, lam):
+    U, sv, Vt = jnp.linalg.svd(V, full_matrices=False)
+    x = vector.prox_norm_inf(sv, lam)
+    return (U * x[..., None, :]) @ Vt
+
+
+def eval_sigma_max(X):
+    return jnp.max(jnp.linalg.svd(X, compute_uv=False))
+
+
+def epi_sigma_max(V, s):
+    """Projection onto {(X, t): sigma_max(X) <= t} — norm_inf epigraph on the
+    spectrum (sigma >= 0 stays in [0, t] under the clip, so the factors are
+    a valid SVD of the projection)."""
+    U, sv, Vt = jnp.linalg.svd(V, full_matrices=False)
+    x, t = vector.epi_norm_inf(sv, s)
+    return (U * x[..., None, :]) @ Vt, t

@@ -133,6 +133,10 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
         prox=lambda v, lam, **p: vec.prox_norm2(v, lam),
         epi=lambda v, s, **p: vec.epi_norm2(v, s),
         feval=lambda x, **p: vec.eval_norm2(x)),
+    ProxKind.NORM_INF: KernelEntry(
+        prox=lambda v, lam, **p: vec.prox_norm_inf(v, lam),
+        epi=lambda v, s, **p: vec.epi_norm_inf(v, s),
+        feval=lambda x, **p: vec.eval_norm_inf(x)),
     ProxKind.LOG_SUM_EXP: KernelEntry(
         prox=lambda v, lam, **p: vec.prox_log_sum_exp(v, lam),
         epi=lambda v, s, **p: vec.epi_log_sum_exp(v, s),
@@ -159,6 +163,11 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
         prox=lambda V, lam, **p: mx.prox_lambda_max(V, lam),
         epi=lambda V, s, **p: mx.epi_lambda_max(V, s),
         feval=lambda X, **p: mx.eval_lambda_max(X),
+        matrix=True),
+    ProxKind.SIGMA_MAX: KernelEntry(
+        prox=lambda V, lam, **p: mx.prox_sigma_max(V, lam),
+        epi=lambda V, s, **p: mx.epi_sigma_max(V, s),
+        feval=lambda X, **p: mx.eval_sigma_max(X),
         matrix=True),
 }
 

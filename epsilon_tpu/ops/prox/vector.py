@@ -92,6 +92,39 @@ def epi_norm2(v, s):
 
 
 # ---------------------------------------------------------------------------
+# norm_inf: f(x) = max_i |x_i|
+# No direct reference kernel (the reference routes norm_inf through the
+# conic fallback, ``conic.py:15-43`` p=inf branch); this direct kernel is
+# the Moreau dual of the l1-ball projection and also powers SIGMA_MAX.
+# prox: x = clip(v, -t, t) with t >= 0 solving sum_i max(0, |v_i| - t) = lam
+# (one sort + prefix sums via pwl_root, same pattern as prox_max).
+# ---------------------------------------------------------------------------
+
+def prox_norm_inf(v, lam):
+    a = jnp.abs(v)
+    t = pwl_root(-lam, 0.0, a, jnp.ones_like(a))
+    t = jnp.maximum(t, 0.0)
+    x = jnp.clip(v, -t, t)
+    return jnp.where(lam <= 0, v, x)
+
+
+def eval_norm_inf(x):
+    return jnp.max(jnp.abs(x))
+
+
+def epi_norm_inf(v, s):
+    """Project (v, s) onto {(x, t): ||x||_inf <= t}: for fixed t the cost is
+    phi(t) = sum_i max(0, |v_i|-t)^2/2 + (t-s)^2/2, so t* solves
+    s - t + sum_i max(0, |v_i| - t) = 0, clamped at t >= 0 (phi convex)."""
+    a = jnp.abs(v)
+    t = pwl_root(s, -1.0, a, jnp.ones_like(a))
+    t = jnp.maximum(t, 0.0)
+    x = jnp.clip(v, -t, t)
+    inactive = eval_norm_inf(v) <= s
+    return jnp.where(inactive, v, x), jnp.where(inactive, s, t)
+
+
+# ---------------------------------------------------------------------------
 # second_order_cone: row-wise projection onto ||x_i|| <= beta * t_i
 # (second_order_cone.cc:59-76, ApplyProjection)
 # ---------------------------------------------------------------------------

@@ -174,3 +174,39 @@ def test_quantile_structure(rng):
         + ep.sum_squares(x)))
     p = _compile(prob)
     assert "sum_quantile" in _kinds(p)
+
+
+def test_norm_inf_structure(rng):
+    """norm_inf matches the direct NORM_INF kernel, not the conic fallback."""
+    m, n = 8, 4
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+    x = ep.Variable(n)
+    prob = ep.Problem(ep.Minimize(
+        ep.norm_inf(A @ x - b) + 0.1 * ep.sum_squares(x)))
+    p = _compile(prob)
+    assert "norm_inf" in _kinds(p)
+
+
+def test_sigma_max_structure(rng):
+    """sigma_max matches the direct SVD kernel instead of the reference's
+    (m+n)x(m+n) SDP embedding (conic.py transform_sigma_max)."""
+    m, n = 5, 4
+    X = ep.Variable(m, n)
+    B = rng.randn(m, n)
+    prob = ep.Problem(ep.Minimize(
+        ep.sigma_max(X) + ep.sum_squares(X - B)))
+    p = _compile(prob)
+    kinds = _kinds(p)
+    assert "sigma_max" in kinds
+    assert "semidefinite" not in kinds  # no SDP embedding
+
+
+def test_sigma_max_epigraph_structure(rng):
+    m, n = 4, 3
+    X = ep.Variable(m, n)
+    B = rng.randn(m, n)
+    prob = ep.Problem(ep.Minimize(ep.sum_squares(X - B)),
+                      [ep.sigma_max(X) <= 2.0])
+    p = _compile(prob)
+    assert "sigma_max:epi" in _kinds(p)

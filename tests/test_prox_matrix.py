@@ -5,7 +5,8 @@ import pytest
 import jax.numpy as jnp
 
 from epsilon_tpu.ops.prox import matrix as mx
-from oracles import check_prox_vi, check_projection_vi
+from oracles import (check_epigraph, check_prox_scipy, check_prox_vi,
+                     check_projection_vi)
 
 N_TRIALS = 3
 
@@ -162,3 +163,27 @@ def test_epi_lambda_max(trial):
 
     check_projection_vi(sampler, (V.ravel(), np.asarray([s])),
                         (X.ravel(), np.asarray([t])), rng=rng)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_sigma_max(trial):
+    rng = np.random.RandomState(160 + trial)
+    m, n = 5, 4
+    V = rng.randn(m, n) * 2
+    lam = 10.0 ** rng.uniform(-2, 1)
+    X = np.asarray(mx.prox_sigma_max(jnp.asarray(V), lam))
+    f = lambda Z: np.linalg.norm(np.asarray(Z).reshape(m, n), 2)
+    check_prox_vi(lambda z: f(z), V.ravel(), lam, X.ravel(), rng=rng)
+    check_prox_scipy(lambda z: f(z), V.ravel(), lam, X.ravel(), rng=rng,
+                     tol=1e-5)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_epi_sigma_max(trial):
+    rng = np.random.RandomState(170 + trial)
+    m, n = 4, 4
+    V = rng.randn(m, n) * 2
+    s = rng.randn() * 2
+    X, t = mx.epi_sigma_max(jnp.asarray(V), s)
+    f = lambda z: np.linalg.norm(np.asarray(z).reshape(m, n), 2)
+    check_epigraph(f, V.ravel(), s, np.asarray(X).ravel(), float(t), rng=rng)

@@ -131,3 +131,39 @@ def test_epi_log_sum_exp(trial):
     f = lambda z: float(np.log(np.sum(np.exp(z - np.max(z)))) + np.max(z))
     check_epigraph(f, v, s, np.asarray(x), float(t), rng=rng, tol=1e-5,
                    feas_tol=1e-5)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_norm_inf(trial):
+    rng = np.random.RandomState(80 + trial)
+    v = rng.randn(9) * 2
+    lam = 10.0 ** rng.uniform(-2, 1.5)
+    x = np.asarray(vec.prox_norm_inf(jnp.asarray(v), lam))
+    f = lambda z: np.max(np.abs(z))
+    check_prox_vi(f, v, lam, x, rng=rng)
+    check_prox_scipy(f, v, lam, x, rng=rng)
+
+
+def test_norm_inf_large_lam():
+    # lam >= ||v||_1 collapses the prox to 0
+    v = np.array([1.0, -2.0, 0.5])
+    x = np.asarray(vec.prox_norm_inf(jnp.asarray(v), 10.0))
+    np.testing.assert_allclose(x, 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_epi_norm_inf(trial):
+    rng = np.random.RandomState(90 + trial)
+    v = rng.randn(9) * 2
+    s = rng.randn() * 2
+    x, t = vec.epi_norm_inf(jnp.asarray(v), s)
+    f = lambda z: np.max(np.abs(z))
+    check_epigraph(f, v, s, np.asarray(x), float(t), rng=rng)
+
+
+def test_epi_norm_inf_polar():
+    # deep inside the polar cone the projection is the origin
+    v = np.array([0.01, -0.02, 0.005])
+    x, t = vec.epi_norm_inf(jnp.asarray(v), -5.0)
+    np.testing.assert_allclose(np.asarray(x), 0.0, atol=1e-12)
+    assert float(t) == 0.0

@@ -251,3 +251,72 @@ def test_warm_start_cache():
     prob.solve(rel_tol=1e-6, abs_tol=1e-8, warm_start=True)
     it2 = prob.solver_status.num_iterations
     assert it2 <= it1
+
+
+@pytest.mark.parametrize("params", PARAMS[:2])
+def test_chebyshev_norm_inf(params):
+    """min ||Ax - b||_inf via the direct NORM_INF kernel; LP oracle."""
+    rng = np.random.RandomState(12)
+    m, n = 20, 6
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+    x = ep.Variable(n)
+    prob = ep.Problem(ep.Minimize(ep.norm_inf(A @ x - b)))
+    obj = prob.solve(rel_tol=1e-5, abs_tol=1e-7, max_iterations=8000, **params)
+
+    c = np.concatenate([np.zeros(n), [1.0]])
+    A_ub = np.block([[A, -np.ones((m, 1))], [-A, -np.ones((m, 1))]])
+    b_ub = np.concatenate([b, -b])
+    res = scipy.optimize.linprog(c, A_ub=A_ub, b_ub=b_ub,
+                                 bounds=[(None, None)] * (n + 1))
+    _assert_obj(obj, res.fun)
+
+
+def test_sigma_max_regularized():
+    """min sigma_max(X) + ||X - B||^2 via the direct SVD kernel; the
+    solution is B with top singular values shrunk (prox at lam=1/2)."""
+    rng = np.random.RandomState(13)
+    m, n = 6, 5
+    B = rng.randn(m, n)
+    X = ep.Variable(m, n)
+    prob = ep.Problem(ep.Minimize(ep.sigma_max(X) + ep.sum_squares(X - B)))
+    obj = prob.solve(rel_tol=1e-6, abs_tol=1e-8, max_iterations=6000)
+
+    from epsilon_tpu.ops.prox import matrix as mx
+    import jax.numpy as jnp
+    Xstar = np.asarray(mx.prox_sigma_max(jnp.asarray(B), 0.5))
+    oracle = np.linalg.norm(Xstar, 2) + np.sum((Xstar - B) ** 2)
+    _assert_obj(obj, oracle)
+    np.testing.assert_allclose(np.asarray(X.value), Xstar, atol=2e-3)
+
+
+def test_sigma_max_constraint():
+    """min ||X - B||^2 s.t. sigma_max(X) <= 1 — spectral-ball projection."""
+    rng = np.random.RandomState(14)
+    m, n = 5, 5
+    B = rng.randn(m, n) * 2
+    X = ep.Variable(m, n)
+    prob = ep.Problem(ep.Minimize(ep.sum_squares(X - B)),
+                      [ep.sigma_max(X) <= 1.0])
+    obj = prob.solve(rel_tol=1e-6, abs_tol=1e-8, max_iterations=6000)
+
+    U, sv, Vt = np.linalg.svd(B, full_matrices=False)
+    Xstar = (U * np.minimum(sv, 1.0)) @ Vt
+    oracle = np.sum((Xstar - B) ** 2)
+    _assert_obj(obj, oracle)
+    np.testing.assert_allclose(np.asarray(X.value), Xstar, atol=2e-3)
+
+
+def test_constant_epigraph_bound_binds():
+    """Regression: f(x) <= const must introduce a pinned t-variable (the
+    joint epigraph projection would otherwise drop the bound entirely)."""
+    rng = np.random.RandomState(15)
+    n = 6
+    b = rng.randn(n) + 2.0
+    x = ep.Variable(n)
+    prob = ep.Problem(ep.Minimize(ep.sum_squares(x - b)),
+                      [ep.max_entries(x) <= 1.0])
+    prob.solve(rel_tol=1e-6, abs_tol=1e-8, max_iterations=6000)
+    xs = np.asarray(x.value).ravel()
+    assert xs.max() <= 1.0 + 1e-4
+    np.testing.assert_allclose(xs, np.minimum(b, 1.0), atol=1e-3)
