@@ -402,22 +402,30 @@ prox_log_sum_exp = _vector_rule(
 prox_max = _vector_rule(
     ProxKind.MAX, _axis_reduction_extract(ExprType.MAX_ENTRIES))
 
-prox_norm_2 = _vector_rule(
-    ProxKind.NORM_2,
-    lambda e: e.args[0] if (e.expr_type == ExprType.NORM_P and
-                            e.attr["p"] == 2 and e.attr.get("axis") is None)
-    else None)
+def _norm_p_extract(p_val):
+    """Match norm_p(x, p) (bare vector or axis form) or
+    SUM(norm_p(x, p, axis=k)) — the mixed-norm form (e.g. group lasso as
+    sum of row norms) batched by vmap in the operator layer instead of
+    routing through the conic SOC detour (``prox.py:352-370`` axis mode)."""
+    def extract(e):
+        if e.expr_type == ExprType.NORM_P and e.attr["p"] == p_val:
+            return e.args[0], {"axis": e.attr.get("axis")}
+        if (e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
+                e.args[0].expr_type == ExprType.NORM_P and
+                e.args[0].attr["p"] == p_val and
+                e.args[0].attr.get("axis") is not None):
+            return e.args[0].args[0], {"axis": e.args[0].attr["axis"]}
+        return None
+    return extract
+
+
+prox_norm_2 = _vector_rule(ProxKind.NORM_2, _norm_p_extract(2))
 
 # Direct kernels beyond reference parity: the reference routes norm_inf and
 # sigma_max through the conic fallback (``conic.py:15-43`` p=inf branch and
 # the SDP embedding at ``conic.py:176-186``); here both match a direct
 # sort-based / SVD-based prox instead.
-prox_norm_inf = _vector_rule(
-    ProxKind.NORM_INF,
-    lambda e: e.args[0] if (e.expr_type == ExprType.NORM_P and
-                            e.attr["p"] == float("inf") and
-                            e.attr.get("axis") is None)
-    else None)
+prox_norm_inf = _vector_rule(ProxKind.NORM_INF, _norm_p_extract(float("inf")))
 
 prox_sigma_max = _vector_rule(
     ProxKind.SIGMA_MAX,

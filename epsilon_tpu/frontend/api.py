@@ -269,8 +269,8 @@ def norm2(x, axis=None):
     return ex.norm_p(_wrap(x), 2, axis=axis)
 
 
-def norm_inf(x):
-    return ex.norm_p(_wrap(x), float("inf"))
+def norm_inf(x, axis=None):
+    return ex.norm_p(_wrap(x), float("inf"), axis=axis)
 
 
 def norm_nuc(x):

@@ -210,3 +210,30 @@ def test_sigma_max_epigraph_structure(rng):
                       [ep.sigma_max(X) <= 2.0])
     p = _compile(prob)
     assert "sigma_max:epi" in _kinds(p)
+
+
+def test_group_norm_axis_structure(rng):
+    """sum(norm2(X, axis=1)) matches the direct axis-batched NORM_2 kernel
+    (vmapped rows), not the conic SOC detour."""
+    X = ep.Variable(6, 4)
+    B = rng.randn(6, 4)
+    prob = ep.Problem(ep.Minimize(
+        ep.sum_entries(ep.norm2(X, axis=1)) + ep.sum_squares(X - B)))
+    p = _compile(prob)
+    kinds = _kinds(p)
+    assert "norm_2" in kinds and "second_order_cone" not in kinds
+    term = [t for t in p.terms if t.spec.kind == ProxKind.NORM_2][0]
+    assert term.spec.axis == 1
+
+
+def test_axis_epigraph_structure(rng):
+    """Per-row epigraph norm2(X, axis=1) <= t compiles to an axis-mode
+    epigraph term (vmapped per-slice projections)."""
+    X = ep.Variable(5, 3)
+    t = ep.Variable(5)
+    prob = ep.Problem(ep.Minimize(ep.sum_squares(X) + ep.sum_entries(t)),
+                      [ep.norm2(X, axis=1) <= t])
+    p = _compile(prob)
+    assert "norm_2:epi" in _kinds(p)
+    term = [t_ for t_ in p.terms if t_.spec.kind == ProxKind.NORM_2][0]
+    assert term.spec.axis == 1 and term.spec.epigraph

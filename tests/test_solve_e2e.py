@@ -320,3 +320,51 @@ def test_constant_epigraph_bound_binds():
     xs = np.asarray(x.value).ravel()
     assert xs.max() <= 1.0 + 1e-4
     np.testing.assert_allclose(xs, np.minimum(b, 1.0), atol=1e-3)
+
+
+def test_group_norm_rows():
+    """min 0.7*sum_i ||X_i,:|| + ||X - B||^2 — separable row-wise prox."""
+    rng = np.random.RandomState(16)
+    B = rng.randn(6, 4)
+    X = ep.Variable(6, 4)
+    prob = ep.Problem(ep.Minimize(
+        0.7 * ep.sum_entries(ep.norm2(X, axis=1)) + ep.sum_squares(X - B)))
+    obj = prob.solve(rel_tol=1e-6, abs_tol=1e-8, max_iterations=6000)
+    lam = 0.35
+    Xs = np.stack([max(0.0, 1 - lam / max(np.linalg.norm(r), 1e-30)) * r
+                   for r in B])
+    oracle = 0.7 * sum(np.linalg.norm(r) for r in Xs) + np.sum((Xs - B) ** 2)
+    _assert_obj(obj, oracle)
+    np.testing.assert_allclose(np.asarray(X.value), Xs, atol=1e-3)
+
+
+def test_row_norm_epigraph_axis():
+    """Per-row norm bounds norm2(X, axis=1) <= t via axis-mode epigraph."""
+    rng = np.random.RandomState(17)
+    B = rng.randn(6, 4) * 2
+    X = ep.Variable(6, 4)
+    t = ep.Variable(6)
+    prob = ep.Problem(
+        ep.Minimize(ep.sum_squares(X - B) + ep.sum_squares(t - 0.5)),
+        [ep.norm2(X, axis=1) <= t])
+    prob.solve(rel_tol=1e-6, abs_tol=1e-8, max_iterations=8000)
+    Xv, tv = np.asarray(X.value), np.asarray(t.value).ravel()
+    assert (np.linalg.norm(Xv, axis=1) <= tv + 1e-4).all()
+
+
+def test_mixed_inf_norm_rows():
+    """min sum_i ||X_i,:||_inf + ||X - B||^2 — axis-batched NORM_INF."""
+    rng = np.random.RandomState(18)
+    B = rng.randn(5, 4) * 2
+    X = ep.Variable(5, 4)
+    prob = ep.Problem(ep.Minimize(
+        ep.sum_entries(ep.norm_inf(X, axis=1))
+        + ep.sum_squares(X - B)))
+    obj = prob.solve(rel_tol=1e-6, abs_tol=1e-8, max_iterations=6000)
+
+    from epsilon_tpu.ops.prox import vector as vec
+    import jax.numpy as jnp
+    Xs = np.stack([np.asarray(vec.prox_norm_inf(jnp.asarray(r), 0.5))
+                   for r in B])
+    oracle = sum(np.abs(r).max() for r in Xs) + np.sum((Xs - B) ** 2)
+    _assert_obj(obj, oracle)
