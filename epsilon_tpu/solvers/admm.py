@@ -463,13 +463,17 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
 
 class ProxADMMSolver(SolverBase):
-    """N-block Gauss-Seidel ADMM (``prox_admm.{h,cc}``); requires rho == 1
-    (``prox_admm.cc:51``)."""
+    """N-block Gauss-Seidel ADMM (``prox_admm.{h,cc}``).
+
+    Beyond reference parity: the reference hard-requires rho == 1
+    (``prox_admm.cc:51``); here any fixed rho is supported by running the
+    rho = 1 sweep on the sqrt(rho)-scaled constraint system (A, b) <-
+    (sqrt(rho) A, sqrt(rho) b) — the augmented-Lagrangian metric the
+    reference's InitProxOperators would have built (``prox_admm.cc:45-94``)
+    — with residuals converted back to unscaled units."""
 
     def __init__(self, problem: ProxProblem, params: SolverParams):
         super().__init__(problem, params)
-        if params.rho != 1.0:
-            raise ValueError("ProxADMMSolver requires rho == 1")
         if params.adaptive_rho:
             raise ValueError("adaptive_rho is only supported by the "
                              "two-block solver (PROX_ADMM_TWO_BLOCK)")
@@ -477,8 +481,10 @@ class ProxADMMSolver(SolverBase):
             raise ValueError("term sharding (mesh) is only supported by the "
                              "two-block solver (PROX_ADMM_TWO_BLOCK)")
         t0 = time.time()
+        self.sqrt_rho = float(np.sqrt(params.rho))
+        self._init_rho = params.rho
 
-        # Global constraint operator (prox_admm.cc:24-42)
+        # Global constraint operator (prox_admm.cc:24-42), sqrt(rho)-scaled
         self.A = BlockMatrix()
         self.b = BlockVector()
         self.row_dims: Dict[str, int] = {}
@@ -487,10 +493,12 @@ class ProxADMMSolver(SolverBase):
                 raise ValueError("ProxADMM supports ZERO cones only")
             Ai, bi = _rekey_constraint(i, con.op)
             for (r, c), op in Ai.blocks.items():
+                if self.sqrt_rho != 1.0:
+                    op = op.scale(self.sqrt_rho)
                 self.A.insert(r, c, op)
                 self.row_dims[r] = op.m
             for r, vec in bi.items():
-                self.b[r] = vec
+                self.b[r] = vec if self.sqrt_rho == 1.0 else self.sqrt_rho * vec
         self.AT = self.A.T
         self.m = sum(self.row_dims.values())
         self.n = sum(problem.var_dims[c] for c in self.A.col_keys())
@@ -536,9 +544,15 @@ class ProxADMMSolver(SolverBase):
         return (u, tuple(new_ys)), tuple(xs)
 
     def _residuals(self, state, xs, ys_prev):
+        """Residuals in UNSCALED units (``prox_admm.cc:178-217``).  The loop
+        runs on the sqrt(rho)-scaled system (A_bar = sqrt(rho) A), so:
+        primal quantities divide by sqrt(rho); the dual residual
+        rho*||A_i' sum dy|| equals ||A_bar_i' dy_bar|| directly (two factors
+        of sqrt(rho)); and rho*||A' u_true|| = ||A_bar' u_bar|| since the
+        scaled-system dual u_bar carries lambda/sqrt(rho)."""
         u, ys = state
         abs_tol, rel_tol = self.params.abs_tol, self.params.rel_tol
-        rho = self.params.rho
+        inv_sqrt_rho = 1.0 / self.sqrt_rho
         N = len(self.term_ops)
 
         b_dev = self.b.to_device()
@@ -548,7 +562,8 @@ class ProxADMMSolver(SolverBase):
             Ai_xi = self.A.apply(x)
             max_norm = jnp.maximum(max_norm, Ai_xi.norm())
             Ax_b = Ax_b + Ai_xi
-        r_norm = Ax_b.norm()
+        r_norm = Ax_b.norm() * inv_sqrt_rho
+        max_norm = max_norm * inv_sqrt_rho
 
         s_sq = jnp.asarray(0.0, dtype=config.default_dtype())
         Ax_diff = BlockVector()
@@ -556,11 +571,11 @@ class ProxADMMSolver(SolverBase):
             Ax_diff = Ax_diff + (ys[i + 1] - ys_prev[i + 1])
             s_i = self.AiT[i].apply(Ax_diff).norm()
             s_sq = s_sq + s_i * s_i
-        s_norm = rho * jnp.sqrt(s_sq)
+        s_norm = jnp.sqrt(s_sq)
 
         eps_p = abs_tol * float(np.sqrt(max(self.m, 1))) + rel_tol * max_norm
         eps_d = (abs_tol * float(np.sqrt(max(self.n, 1)))
-                 + rel_tol * rho * self.AT.apply(u).norm())
+                 + rel_tol * self.AT.apply(u).norm())
         return jnp.stack([r_norm, s_norm, eps_p, eps_d])
 
     def _xs_zeros(self):
@@ -597,6 +612,11 @@ class ProxADMMSolver(SolverBase):
 
     def solve(self) -> BlockVector:
         t0 = time.time()
+        if self.params.rho != self._init_rho:
+            # rho is baked into the scaled constraint system and the cached
+            # KKT factorizations: rebuild (the cached-solver analogue of the
+            # reference rejecting rho != 1 outright)
+            self.__init__(self.problem, self.params)
         state = self._init_state()
         epoch_iters = self.params.epoch_iterations
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
@@ -604,9 +624,10 @@ class ProxADMMSolver(SolverBase):
         if self.params.drive == "device":
             if self._compiled is None or self._compiled_key != (
                     max_epochs, epoch_iters, self.params.rel_tol,
-                    self.params.abs_tol):
+                    self.params.abs_tol, self._init_rho):
                 self._compiled_key = (max_epochs, epoch_iters,
-                                      self.params.rel_tol, self.params.abs_tol)
+                                      self.params.rel_tol, self.params.abs_tol,
+                                      self._init_rho)
                 self._compiled = None
             if self._compiled is None:
                 lifter, const_args = self._lift_constants(state)

@@ -17,6 +17,9 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+import epsilon_tpu as ep
+from epsilon_tpu.solvers import SolverKind
+
 from epsilon_tpu.ir import (AffineOperator, ProxFunctionSpec, ProxKind,
                             arg_key)
 from epsilon_tpu.ops import linop
@@ -174,3 +177,45 @@ def test_adaptive_full_pipeline(rng):
     obj_oracle = _lasso_objective(A, b, 0.3, x_o)
     for obj in (obj1, obj2):
         assert obj <= obj_oracle + 1e-3 * abs(obj_oracle) + 1e-5
+
+
+class TestNBlockGeneralRho:
+    """Beyond-parity: the N-block Gauss-Seidel solver accepts any fixed rho
+    (the reference hard-requires rho == 1, ``prox_admm.cc:51``) by running
+    the rho = 1 sweep on the sqrt(rho)-scaled constraint system."""
+
+    def _lasso(self):
+        rng = np.random.RandomState(5)
+        m, n = 20, 10
+        A = rng.randn(m, n)
+        b = rng.randn(m)
+        x = ep.Variable(n)
+        prob = ep.Problem(ep.Minimize(
+            0.5 * ep.sum_squares(A @ x - b) + 0.4 * ep.norm1(x)))
+        from sklearn.linear_model import Lasso
+        model = Lasso(alpha=0.4 / m, fit_intercept=False, tol=1e-12,
+                      max_iter=100000)
+        model.fit(A, b)
+        oracle = (0.5 * np.sum((A @ model.coef_ - b) ** 2)
+                  + 0.4 * np.abs(model.coef_).sum())
+        return prob, x, model.coef_, oracle
+
+    @pytest.mark.parametrize("rho", [0.25, 1.0, 4.0])
+    def test_fixed_rho_converges(self, rho):
+        prob, x, coef, oracle = self._lasso()
+        obj = prob.solve(solver=SolverKind.PROX_ADMM, rho=rho,
+                         rel_tol=1e-5, abs_tol=1e-7, max_iterations=8000)
+        assert prob.status == "optimal"
+        assert obj <= oracle + 1e-2 * abs(oracle) + 1e-4
+        np.testing.assert_allclose(np.asarray(x.value).ravel(), coef,
+                                   atol=2e-2)
+
+    def test_rho_change_rebuilds_cached_solver(self):
+        prob, x, coef, oracle = self._lasso()
+        obj1 = prob.solve(solver=SolverKind.PROX_ADMM, rho=1.0,
+                          rel_tol=1e-5, abs_tol=1e-7, max_iterations=8000)
+        it1 = prob.solver_status.num_iterations
+        obj2 = prob.solve(solver=SolverKind.PROX_ADMM, rho=4.0,
+                          rel_tol=1e-5, abs_tol=1e-7, max_iterations=8000)
+        assert prob.status == "optimal"
+        assert abs(obj1 - obj2) <= 1e-2 * abs(obj1) + 1e-3
