@@ -10,23 +10,30 @@ from __future__ import annotations
 
 import logging
 import time
+import weakref
 from typing import Dict, Optional
 
 import numpy as np
 import jax.numpy as jnp
 
+from .. import config
 from ..compiler import compiler, text_format
 from ..ir import ProxProblem, arg_key
 from ..ops import linop
 from ..ops.block import BlockMatrix, BlockVector
 from ..solvers import SolverParams, SolverState, create_solver, problem_objective
+from ..solvers.status import SolverStatus
 from . import api
 from . import expression as ex
 
 logger = logging.getLogger("epsilon_tpu")
 
-# compiled-problem cache keyed by id(problem) (cvxpy_solver.py:20,70-76)
-_PROBLEM_CACHE: Dict[int, tuple] = {}
+# Compiled-problem cache for warm starts (cvxpy_solver.py:20,70-76).  The
+# reference keys by id(problem), which can silently alias a new Problem onto
+# a dead one's compiled solver after GC reuses the id; a WeakKeyDictionary
+# keys by the live object itself and drops the entry with it.
+_PROBLEM_CACHE: "weakref.WeakKeyDictionary[api.Problem, tuple]" = \
+    weakref.WeakKeyDictionary()
 
 
 def _has_parameters(problem: api.Problem) -> bool:
@@ -68,7 +75,7 @@ def solve(problem: api.Problem, verbose: bool = False, **kwargs) -> float:
     params = SolverParams(**{**kwargs, "verbose": verbose})
 
     t0 = time.time()
-    key = id(problem)
+    key = problem
     cached = _PROBLEM_CACHE.get(key) if params.warm_start else None
     if cached is not None:
         prox_problem, solver = cached
@@ -85,6 +92,14 @@ def solve(problem: api.Problem, verbose: bool = False, **kwargs) -> float:
     else:
         prox_problem = compiler.compile_problem(
             problem.expression_problem(), use_epigraph=params.use_epigraph)
+        if len(prox_problem.terms) == 1 and not prox_problem.constraints:
+            # single-prox fast path (cvxpy_solver.py:79-88): one prox term
+            # and nothing to split on — one prox evaluation at huge lambda
+            # IS the minimizer, no ADMM loop needed
+            if verbose:
+                logger.info("Epsilon compile time: %.4fs", time.time() - t0)
+                logger.info("%s", text_format.format_problem(prox_problem))
+            return _solve_single_prox(problem, prox_problem)
         solver = create_solver(prox_problem, params)
         if params.warm_start:
             _PROBLEM_CACHE[key] = (prox_problem, solver)
@@ -105,6 +120,42 @@ def solve(problem: api.Problem, verbose: bool = False, **kwargs) -> float:
                       else "max_iterations")
     obj = float(problem_objective(prox_problem, values))
     return obj
+
+
+def _solve_single_prox(problem: api.Problem,
+                       prox_problem: ProxProblem) -> float:
+    """Minimize a lone prox term by one prox evaluation at huge lambda
+    (``cvxpy_solver.py:79-88`` uses lam=1e12): prox_{lam*f}(0) -> argmin f
+    with bias O(||x*||^2 / lam).  Lambda is dtype-aware — 1e12 is fine in
+    f64, but in f32 1/sqrt(lam) underflows precision, so use 1e6."""
+    from ..ops.prox.operator import create_prox_operator
+    from ..ir import AffineOperator
+
+    term = prox_problem.terms[0]
+    dtype = config.default_dtype()
+    lam = 1e12 if dtype == jnp.float64 else 1e6
+    inv_sqrt_lam = 1.0 / np.sqrt(lam)
+    t0 = time.time()
+    A = BlockMatrix()
+    v = BlockVector()
+    tvars = sorted({c for (_, c) in term.H.A.blocks})
+    for i, vid in enumerate(tvars):
+        n = prox_problem.var_dims[vid]
+        A.insert(f"c{i}", vid, linop.scalar(inv_sqrt_lam, n))
+        v[f"c{i}"] = jnp.zeros(n, dtype=dtype)
+    op = create_prox_operator(term.spec, term.H,
+                              AffineOperator(A, BlockVector()))
+    x = op.apply(v)
+
+    _set_solution(problem, x, prox_problem)
+    status = SolverStatus()
+    status.state = SolverState.OPTIMAL
+    status.num_iterations = 0
+    status.timing.solve_usec = int((time.time() - t0) * 1e6)
+    status.timing.total_usec = status.timing.solve_usec
+    problem.solver_status = status
+    problem.status = "optimal"
+    return float(problem_objective(prox_problem, x))
 
 
 def eval_prox(f, v_map: Dict[api.Variable, np.ndarray], lam: float = 1.0,

@@ -197,9 +197,10 @@ class LinOp(abc.ABC):
         """Apply to a vector (jnp array of shape (n,))."""
 
     def matmat(self, X):
-        """Apply to a matrix columnwise (jnp array (n, k)). Default loops
-        via matvec-free dense fallback; subclasses override."""
-        return jnp.stack([self.matvec(X[:, i]) for i in range(X.shape[1])], axis=1)
+        """Apply to a matrix columnwise (jnp array (n, k)).  Default vmaps
+        matvec over columns — one batched HLO regardless of k, instead of k
+        unrolled matvecs; subclasses override with structure-aware forms."""
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
 
     def host_matvec(self, x: np.ndarray) -> np.ndarray:
         """Apply to a concrete numpy vector on the host (compile-time use)."""
@@ -537,8 +538,17 @@ class KronOp(LinOp):
         return jvec(Y)
 
     def matmat(self, X):
-        cols = [self.matvec(X[:, i]) for i in range(X.shape[1])]
-        return jnp.stack(cols, axis=1)
+        """Batched vec-trick: all k columns go through TWO child matmats
+        (fold the batch axis into the column axis), not k unrolled matvecs —
+        a Kron-structured multiclass problem with k ~ 100 stays one HLO."""
+        k = X.shape[1]
+        Xs = jmat(X.T, (self.B.n, self.A.n))               # (k, B.n, A.n)
+        Xb = jnp.transpose(Xs, (1, 0, 2)).reshape(self.B.n, k * self.A.n)
+        BX = self.B.matmat(Xb).reshape(self.B.m, k, self.A.n)
+        T = jnp.transpose(BX, (2, 1, 0)).reshape(self.A.n, k * self.B.m)
+        Y = self.A.matmat(T).reshape(self.A.m, k, self.B.m)
+        # Y[:, j, :] = (B X_j A^T)^T; its row-major flatten is vec(B X_j A^T)
+        return jnp.transpose(Y, (1, 0, 2)).reshape(k, self.m).T
 
     def host_matvec(self, x):
         X = mat(np.asarray(x), (self.B.n, self.A.n))

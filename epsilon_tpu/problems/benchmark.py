@@ -70,6 +70,32 @@ PROBLEMS_SMALL: List[ProblemInstance] = [
 ]
 
 
+def _scale_problems() -> List[ProblemInstance]:
+    """Log-spaced size sweeps (``benchmark.py:66-91``): the scaling curves
+    behind the reference's benchmark graphs, built lazily so importing this
+    module stays cheap."""
+    out: List[ProblemInstance] = []
+    out += [ProblemInstance(f"lasso_{int(m)}", _p("lasso").create,
+                            dict(m=int(m), n=10 * int(m),
+                                 rho=1 if m < 50 else 0.01))
+            for m in np.logspace(1, np.log10(5000), 20)]
+    out += [ProblemInstance(f"mv_lasso_{int(m)}", _p("mv_lasso").create,
+                            dict(m=int(m), n=10 * int(m), k=10,
+                                 rho=1 if m < 50 else 0.01))
+            for m in np.logspace(1, np.log10(5000), 20)]
+    out += [ProblemInstance(f"fused_lasso_{int(m)}", _p("fused_lasso").create,
+                            dict(m=int(m), ni=10, k=int(m)))
+            for m in np.logspace(1, 3, 20)]
+    out += [ProblemInstance(f"hinge_l2_{int(n)}", _p("hinge_l2").create,
+                            dict(m=10 * int(n), n=int(n)))
+            for n in np.logspace(1, np.log10(5000), 20)]
+    return out
+
+
+def PROBLEMS_SCALE() -> List[ProblemInstance]:
+    return _scale_problems()
+
+
 def benchmark_epsilon(instance: ProblemInstance,
                       rel_tol: float = 1e-3,
                       max_iterations: int = 50000,
@@ -129,6 +155,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--problem", default=None)
     parser.add_argument("--small", action="store_true")
+    parser.add_argument("--scale", action="store_true",
+                        help="run the log-spaced size sweeps")
     parser.add_argument("--rel-tol", type=float, default=1e-3)
     parser.add_argument("--max-iterations", type=int, default=50000)
     parser.add_argument("--format", default="text",
@@ -136,8 +164,11 @@ def main():
     args = parser.parse_args()
 
     suite = PROBLEMS_SMALL if args.small else PROBLEMS
+    if args.scale:
+        suite = _scale_problems()
     if args.problem:
-        suite = [p for p in suite if p.name == args.problem]
+        suite = [p for p in suite if p.name == args.problem
+                 or p.name.startswith(args.problem + "_")]
         if not suite:
             raise SystemExit(f"unknown problem {args.problem}")
     results = run_benchmarks(suite, rel_tol=args.rel_tol,

@@ -98,6 +98,27 @@ class SolverBase:
     def _has_external_stop(self) -> bool:
         return any(cb() for cb in self._stop_callbacks)
 
+    def _rebuild_full(self):
+        """Reconstruct the solver in place for a changed mode (adaptive_rho/
+        mesh flip) or fixed rho, preserving user-attached hooks that
+        ``__init__`` would reset and migrating the warm-start state to the
+        new parameterization where that's well-defined."""
+        saved_cbs = self._stop_callbacks
+        saved_ckpt = self._checkpointer
+        old_warm = self._warm_state
+        old_rho = getattr(self, "_init_rho", None)
+        old_adaptive = getattr(self, "adaptive", None)
+        self.__init__(self.problem, self.params)
+        self._stop_callbacks = saved_cbs
+        self._checkpointer = saved_ckpt
+        self._warm_state = self._migrate_warm_state(old_warm, old_rho,
+                                                    old_adaptive)
+
+    def _migrate_warm_state(self, old_state, old_rho, old_adaptive):
+        """Map a previous solve's warm state onto the rebuilt solver's
+        parameterization; ``None`` when no valid mapping exists."""
+        return None
+
     def objective_value(self, x: BlockVector):
         return problem_objective(self.problem, x)
 
@@ -163,6 +184,7 @@ class ProxADMMTwoBlockSolver(SolverBase):
         super().__init__(problem, params)
         t0 = time.time()
         self.adaptive = params.adaptive_rho
+        self._init_rho = params.rho
         sqrt_rho = 1.0 if self.adaptive else float(np.sqrt(params.rho))
         self.sqrt_rho = sqrt_rho
 
@@ -378,13 +400,25 @@ class ProxADMMTwoBlockSolver(SolverBase):
             return (z, u, rho)
         return (z, u)
 
+    def _migrate_warm_state(self, old_state, old_rho, old_adaptive):
+        if old_state is None or old_adaptive != self.adaptive:
+            return None
+        if self.adaptive:
+            return old_state  # rho lives in the state itself
+        # u is the scaled dual lambda/rho: preserve lambda across the rho
+        # change (Boyd 3.4.1 rescaling)
+        z, u = old_state
+        return (z, (old_rho / self._init_rho) * u)
+
     def solve(self) -> BlockVector:
         t0 = time.time()
         if (self.adaptive != self.params.adaptive_rho
-                or self.mesh is not self.params.mesh):
-            # mode flipped on a cached solver: rebuild everything (the state
-            # pytree and prox parameterization differ between modes)
-            self.__init__(self.problem, self.params)
+                or self.mesh is not self.params.mesh
+                or (not self.adaptive and self.params.rho != self._init_rho)):
+            # mode or fixed rho changed on a cached solver: rebuild (the
+            # state pytree / prox parameterization / sqrt_rho metric differ),
+            # preserving attached hooks and rescaling the warm dual
+            self._rebuild_full()
         state = self._init_state()
         epoch_iters = self.params.epoch_iterations
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
@@ -400,7 +434,7 @@ class ProxADMMTwoBlockSolver(SolverBase):
             if self._compiled is None:
                 lifter, const_args = self._lift_constants(state)
 
-                def run(state, consts):
+                def run(state, consts, start_it):
                     with lift_apply(lifter, consts):
                         def cond(carry):
                             state, x, it, res, conv = carry
@@ -412,9 +446,11 @@ class ProxADMMTwoBlockSolver(SolverBase):
                             return state, x, it + epoch_iters, res, conv
 
                         # initial conv=False guarantees >= 1 epoch without
-                        # duplicating the epoch body in the HLO
+                        # duplicating the epoch body in the HLO; starting the
+                        # counter at the resume step debits the checkpoint's
+                        # iterations from the max_iterations budget
                         dtype = config.default_dtype()
-                        carry = (state, self._x_zeros(), jnp.asarray(0),
+                        carry = (state, self._x_zeros(), start_it,
                                  jnp.zeros(4, dtype=dtype),
                                  jnp.asarray(False))
                         return jax.lax.while_loop(cond, body, carry)
@@ -423,9 +459,10 @@ class ProxADMMTwoBlockSolver(SolverBase):
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
             state, start_iters = self._resume_state(state)
-            state, x, iters, res, conv = run(state, const_args)
+            state, x, iters, res, conv = run(state, const_args,
+                                             jnp.asarray(start_iters))
             x = jax.block_until_ready(x)
-            iters = int(iters) + start_iters
+            iters = int(iters)
             if self._checkpointer is not None:
                 self._checkpointer.save(iters, state)
         else:
@@ -610,13 +647,23 @@ class ProxADMMSolver(SolverBase):
                    for _ in self.term_ops)
         return (u, ys)
 
+    def _migrate_warm_state(self, old_state, old_rho, old_adaptive):
+        if old_state is None:
+            return None
+        # Scaled system: u_bar = lambda/sqrt(rho), ys = sqrt(rho)*A*x.
+        # Preserve lambda and x across the rho change.
+        s = float(np.sqrt(old_rho / self._init_rho))
+        u, ys = old_state
+        return (s * u, tuple((1.0 / s) * y for y in ys))
+
     def solve(self) -> BlockVector:
         t0 = time.time()
         if self.params.rho != self._init_rho:
             # rho is baked into the scaled constraint system and the cached
             # KKT factorizations: rebuild (the cached-solver analogue of the
-            # reference rejecting rho != 1 outright)
-            self.__init__(self.problem, self.params)
+            # reference rejecting rho != 1 outright), preserving attached
+            # hooks and rescaling the warm state onto the new metric
+            self._rebuild_full()
         state = self._init_state()
         epoch_iters = self.params.epoch_iterations
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
@@ -633,7 +680,7 @@ class ProxADMMSolver(SolverBase):
                 lifter, const_args = self._lift_constants(state)
 
                 @jax.jit
-                def run(state, consts):
+                def run(state, consts, start_it):
                     with lift_apply(lifter, consts):
                         def cond(carry):
                             state, xs, it, res, conv = carry
@@ -645,7 +692,7 @@ class ProxADMMSolver(SolverBase):
                             return state, xs, it + epoch_iters, res, conv
 
                         dtype = config.default_dtype()
-                        carry = (state, self._xs_zeros(), jnp.asarray(0),
+                        carry = (state, self._xs_zeros(), start_it,
                                  jnp.zeros(4, dtype=dtype),
                                  jnp.asarray(False))
                         return jax.lax.while_loop(cond, body, carry)
@@ -653,9 +700,10 @@ class ProxADMMSolver(SolverBase):
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
             state, start_iters = self._resume_state(state)
-            state, xs, iters, res, conv = run(state, const_args)
+            state, xs, iters, res, conv = run(state, const_args,
+                                              jnp.asarray(start_iters))
             xs = jax.block_until_ready(xs)
-            iters = int(iters) + start_iters
+            iters = int(iters)
             if self._checkpointer is not None:
                 self._checkpointer.save(iters, state)
         else:

@@ -20,6 +20,8 @@ flatten to plain arrays.
 
 from __future__ import annotations
 
+import hashlib
+import logging
 import os
 from typing import Optional
 
@@ -27,6 +29,20 @@ import jax
 import numpy as np
 
 __all__ = ["SolverCheckpointer"]
+
+logger = logging.getLogger("epsilon_tpu")
+
+
+def _state_fingerprint(state) -> np.ndarray:
+    """Identity of the problem behind a solver state: the pytree structure
+    (which for BlockVector leaves includes the variable/constraint key names)
+    plus every leaf shape+dtype, hashed.  Rejects resuming a checkpoint from
+    a *different* problem that happens to have identically-shaped leaves."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    desc = repr(treedef) + "|" + "|".join(
+        f"{np.shape(l)}:{np.asarray(l).dtype}" for l in leaves)
+    digest = hashlib.sha256(desc.encode()).digest()
+    return np.frombuffer(digest, dtype=np.uint8).copy()
 
 
 class SolverCheckpointer:
@@ -56,7 +72,8 @@ class SolverCheckpointer:
     def save(self, step: int, state) -> None:
         import orbax.checkpoint as ocp
         leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(state)]
-        self._mgr.save(step, args=ocp.args.StandardSave({"leaves": leaves}))
+        payload = {"leaves": leaves, "fingerprint": _state_fingerprint(state)}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
     # -- restoring -----------------------------------------------------------
@@ -74,16 +91,31 @@ class SolverCheckpointer:
         if step is None:
             return None, 0
         like_leaves, treedef = jax.tree_util.tree_flatten(like_state)
-        template = {"leaves": [np.asarray(l) for l in like_leaves]}
+        fp = _state_fingerprint(like_state)
+        template = {"leaves": [np.asarray(l) for l in like_leaves],
+                    "fingerprint": fp}
         try:
             out = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
-        except Exception:
+        except Exception as e:  # orbax raises on structural mismatch too
+            logger.warning(
+                "checkpoint restore from %s step %s failed (%s: %s); "
+                "starting from iteration 0", self.directory, step,
+                type(e).__name__, e)
+            return None, 0
+        if not np.array_equal(np.asarray(out.get("fingerprint")), fp):
+            logger.warning(
+                "checkpoint at %s step %s belongs to a different problem "
+                "(state fingerprint mismatch); starting from iteration 0",
+                self.directory, step)
             return None, 0
         leaves = out["leaves"]
         if len(leaves) != len(like_leaves) or any(
                 np.shape(a) != np.shape(b)
                 for a, b in zip(leaves, like_leaves)):
+            logger.warning(
+                "checkpoint at %s step %s has mismatched leaf shapes; "
+                "starting from iteration 0", self.directory, step)
             return None, 0
         import jax.numpy as jnp
         dtyped = [jnp.asarray(a, dtype=np.asarray(b).dtype)

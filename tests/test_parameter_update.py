@@ -59,12 +59,12 @@ def test_parameter_resolve_through_frontend(rng):
     prob.solve(rel_tol=1e-6, abs_tol=1e-9, warm_start=True)
     x1 = x.value.copy()
     from epsilon_tpu.frontend.solve import _PROBLEM_CACHE
-    run1 = _PROBLEM_CACHE[id(prob)][1]._compiled[0]
+    run1 = _PROBLEM_CACHE[prob][1]._compiled[0]
 
     b_param.value = rng.randn(m)
     prob.solve(rel_tol=1e-6, abs_tol=1e-9, warm_start=True)
     x2 = x.value.copy()
-    run2 = _PROBLEM_CACHE[id(prob)][1]._compiled[0]
+    run2 = _PROBLEM_CACHE[prob][1]._compiled[0]
     assert run1 is run2, "parameter update must not recompile"
     assert np.max(np.abs(x1 - x2)) > 1e-4
 
