@@ -125,6 +125,10 @@ def epi_exp(v, s):
         ex = jnp.exp(x)
         return x + ex * ex - s * ex - v
 
+    def gp(x):
+        ex = jnp.exp(x)
+        return 1.0 + 2.0 * ex * ex - s * ex
+
     # Bracket: g(v) = e^v(e^v - s) > 0 when active. Lower bound: decrease
     # until g < 0 (g -> -inf as x -> -inf).
     hi = v
@@ -133,7 +137,13 @@ def epi_exp(v, s):
         return jnp.where(g(lo) > 0, lo - 2.0 * jnp.abs(lo) - 2.0, lo)
 
     lo = jax.lax.fori_loop(0, 40, widen, jnp.minimum(v, 0.0) - 1.0)
-    x = bisect(g, lo, hi, iters=90)
+    # g is increasing wherever 2 e^x > s; the root has e^{x*} = s + mu > s,
+    # i.e. x* > log(s/2), so clamping the bracket there keeps Newton's
+    # monotonicity precondition without excluding the root.
+    tiny = jnp.finfo(v.dtype).tiny
+    lo = jnp.where(s > 0,
+                   jnp.maximum(lo, jnp.log(jnp.maximum(s, tiny) * 0.5)), lo)
+    x = newton_safeguarded(g, gp, 0.5 * (lo + hi), lo, hi, iters=25)
     t = jnp.exp(x)
     return jnp.where(inactive, v, x), jnp.where(inactive, s, t)
 
@@ -219,18 +229,19 @@ def eval_sum_neg_log(x):
 
 
 def epi_sum_neg_log(v, s):
-    """Projection onto {(x, t): -sum log x_i <= t} via outer root-find on
-    lambda (``sum_neg_log.cc:34-79``)."""
-    def g(lam):
-        x = prox_sum_neg_log(v, lam)
-        return eval_sum_neg_log(x) - s - lam
-
-    inactive = jnp.all(v > 0) & (eval_sum_neg_log(jnp.maximum(v, jnp.finfo(v.dtype).tiny)) <= s)
-    lam = bisect(lambda t: -g(t), jnp.asarray(0.0, v.dtype),
-                 jnp.asarray(1e12, v.dtype), iters=110)
-    x = prox_sum_neg_log(v, lam)
-    t = s + lam
-    return (jnp.where(inactive, v, x), jnp.where(inactive, s, t))
+    """Projection onto {(x, t): -sum log x_i <= t} via arrowhead-KKT Newton
+    (``sum_neg_log.cc:34-79`` scalar-Newton equivalent; newton.cc:109-190)."""
+    from .newton_epi import make_epigraph
+    eps = jnp.finfo(v.dtype).tiny
+    epi = make_epigraph(
+        eval_sum_neg_log,
+        lambda x: -1.0 / x,
+        fhess=lambda x: 1.0 / (x * x),
+        proj=lambda x: jnp.maximum(
+            x, 1e-12 if v.dtype == jnp.float64 else 1e-6),
+        dom=lambda u: jnp.all(u > 0),
+        prox=prox_sum_neg_log)
+    return epi(v, s)
 
 
 # ---------------------------------------------------------------------------
@@ -272,18 +283,7 @@ def eval_sum_kl_div(x, y):
 
 
 def epi_sum_kl_div(u, v, s):
-    """Projection onto {(x, y, t): KL(x, y) <= t}; outer bisection on lambda
-    (the reference uses outer Newton, ``sum_kl_div.cc:69-120``)."""
-    def g(lam):
-        x, y = prox_sum_kl_div(u, v, lam)
-        return eval_sum_kl_div(x, y) - s - lam
-
-    fv = eval_sum_kl_div(jnp.maximum(u, jnp.finfo(u.dtype).tiny),
-                     jnp.maximum(v, jnp.finfo(v.dtype).tiny))
-    inactive = jnp.all(u > 0) & jnp.all(v > 0) & (fv <= s)
-    lam = bisect(lambda t: -g(t), jnp.asarray(1e-12, u.dtype),
-                 jnp.asarray(1e12, u.dtype), iters=110)
-    x, y = prox_sum_kl_div(u, v, lam)
-    t = s + lam
-    return (jnp.where(inactive, u, x), jnp.where(inactive, v, y),
-            jnp.where(inactive, s, t))
+    """Projection onto {(x, y, t): KL(x, y) <= t} via arrowhead-KKT Newton
+    with per-element 2x2 Hessian blocks (``sum_kl_div.cc:69-120``)."""
+    from .newton_epi import epi_sum_kl_div as _newton_kl
+    return _newton_kl(u, v, s)

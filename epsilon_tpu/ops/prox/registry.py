@@ -17,11 +17,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ...ir import ProxKind
 from . import elementwise as ew
 from . import matrix as mx
+from . import newton_epi as ne
 from . import tv1d
 from . import vector as vec
 
@@ -54,19 +56,24 @@ def _scaled_zone_entry(defaults):
 
 def _epi_sum_square(v, s):
     """Project (v, s) onto {(x, t): ||x||^2 <= t}: lam >= max(0, -s) solves
-    (s + lam)(1 + 2 lam)^2 = ||v||^2 (``sum_square.cc:46-57``), then
-    x = v/(1+2 lam), t = s + lam."""
-    from .util import bisect
+    the cubic (s + lam)(1 + 2 lam)^2 = ||v||^2 (``sum_square.cc:46-57``),
+    then x = v/(1+2 lam), t = s + lam.  g is increasing on the bracket
+    (g' = (1+2lam)(1+6lam+4s) > 0 for lam >= max(0,-s)), so safeguarded
+    Newton converges quadratically."""
+    from .util import newton_safeguarded
+    import jax as _jax
     u2 = jnp.sum(v * v)
 
     def g(lam):
         return (s + lam) * (1.0 + 2.0 * lam) ** 2 - u2
 
+    def gp(lam):
+        return (1.0 + 2.0 * lam) * (1.0 + 6.0 * lam + 4.0 * s)
+
     lo = jnp.maximum(0.0, -s)
     hi = lo + jnp.sqrt(u2) + u2 + 1.0
-    import jax as _jax
     hi = _jax.lax.fori_loop(0, 40, lambda _, h: jnp.where(g(h) < 0, 2 * h, h), hi)
-    lam = bisect(g, lo, hi, iters=90)
+    lam = newton_safeguarded(g, gp, 0.5 * (lo + hi), lo, hi, iters=25)
     inactive = u2 <= s
     x = jnp.where(inactive, v, v / (1.0 + 2.0 * lam))
     t = jnp.where(inactive, s, s + lam)
@@ -92,6 +99,8 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
     ProxKind.SUM_QUANTILE: _scaled_zone_entry(dict(alpha=1.0, beta=1.0, C=0.0, M=0.0)),
     ProxKind.SUM_EXP: KernelEntry(
         prox=lambda v, lam, **p: ew.prox_sum_exp(v, lam),
+        epi=ne.make_epigraph(ew.eval_sum_exp, jnp.exp, fhess=jnp.exp,
+                             prox=ew.prox_sum_exp),
         feval=lambda x, **p: ew.eval_sum_exp(x),
         elementwise=True),
     ProxKind.EXP: KernelEntry(
@@ -101,14 +110,32 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
         elementwise=True),
     ProxKind.SUM_LOGISTIC: KernelEntry(
         prox=lambda v, lam, **p: ew.prox_sum_logistic(v, lam),
+        epi=ne.make_epigraph(
+            ew.eval_sum_logistic, jax.nn.sigmoid,
+            fhess=lambda x: jax.nn.sigmoid(x) * (1.0 - jax.nn.sigmoid(x)),
+            prox=ew.prox_sum_logistic),
         feval=lambda x, **p: ew.eval_sum_logistic(x),
         elementwise=True),
     ProxKind.SUM_INV_POS: KernelEntry(
         prox=lambda v, lam, **p: ew.prox_sum_inv_pos(v, lam),
+        epi=ne.make_epigraph(
+            ew.eval_sum_inv_pos,
+            lambda x: -1.0 / (x * x),
+            fhess=lambda x: 2.0 / (x * x * x),
+            proj=lambda x: jnp.maximum(x, 1e-6),
+            dom=lambda v: jnp.all(v > 0),
+            prox=ew.prox_sum_inv_pos),
         feval=lambda x, **p: ew.eval_sum_inv_pos(x),
         elementwise=True),
     ProxKind.SUM_NEG_ENTR: KernelEntry(
         prox=lambda v, lam, **p: ew.prox_sum_neg_entr(v, lam),
+        epi=ne.make_epigraph(
+            ew.eval_sum_neg_entr,
+            lambda x: jnp.log(x) + 1.0,
+            fhess=lambda x: 1.0 / x,
+            proj=lambda x: jnp.maximum(x, 1e-12),
+            dom=lambda v: jnp.all(v >= 0),
+            prox=ew.prox_sum_neg_entr),
         feval=lambda x, **p: ew.eval_sum_neg_entr(x),
         elementwise=True),
     ProxKind.SUM_NEG_LOG: KernelEntry(

@@ -91,25 +91,50 @@ def bisect(g: Callable, lo, hi, iters: int = 80):
 
 def newton_safeguarded(g: Callable, gprime: Callable, x0, lo, hi,
                        iters: int = 30):
-    """Elementwise Newton for non-decreasing ``g``, clipped to a maintained
-    bisection bracket [lo, hi] so it can never diverge."""
+    """Elementwise Newton for non-decreasing ``g`` safeguarded by a
+    maintained bracket [lo, hi] with *endpoint values*: when the Newton
+    candidate leaves the bracket, fall back to the Illinois-damped regula
+    falsi point instead of the midpoint.  The midpoint fallback degrades to
+    plain bisection exactly in the common convex-g endgame (Newton from the
+    left overshoots a nearly-pinned right endpoint); regula falsi uses the
+    endpoint residuals and lands at the root in one step there."""
     x0 = jnp.asarray(x0)
     lo = jnp.broadcast_to(jnp.asarray(lo, dtype=x0.dtype), x0.shape)
     hi = jnp.broadcast_to(jnp.asarray(hi, dtype=x0.dtype), x0.shape)
+    glo = g(lo)
+    ghi = g(hi)
 
     def body(_, state):
-        x, lo, hi = state
+        x, lo, hi, glo, ghi = state
         gx = g(x)
-        lo = jnp.where(gx < 0, jnp.maximum(lo, x), lo)
-        hi = jnp.where(gx >= 0, jnp.minimum(hi, x), hi)
+        neg = gx < 0
+        # replace the matching endpoint; Illinois damping halves the kept
+        # side's residual so one-sided stalls still converge superlinearly
+        lo = jnp.where(neg, jnp.maximum(lo, x), lo)
+        glo = jnp.where(neg, gx, glo)
+        ghi = jnp.where(neg, 0.5 * ghi, ghi)
+        hi = jnp.where(~neg, jnp.minimum(hi, x), hi)
+        ghi = jnp.where(~neg, gx, ghi)
+        glo = jnp.where(~neg, 0.5 * glo, glo)
+
         gp = gprime(x)
         step = jnp.where(gp != 0, gx / jnp.where(gp == 0, 1.0, gp), 0.0)
         xn = x - step
+        denom = ghi - glo
+        falsi = jnp.where(denom != 0,
+                          (lo * ghi - hi * glo) / jnp.where(denom == 0, 1.0,
+                                                            denom),
+                          0.5 * (lo + hi))
+        # non-finite endpoint residuals (e.g. overflowing g at a wide hi)
+        # make the secant meaningless: fall back to the midpoint there
+        falsi = jnp.where(jnp.isfinite(falsi), jnp.clip(falsi, lo, hi),
+                          0.5 * (lo + hi))
         bad = (xn <= lo) | (xn >= hi) | ~jnp.isfinite(xn)
-        xn = jnp.where(bad, 0.5 * (lo + hi), xn)
-        return xn, lo, hi
+        xn = jnp.where(bad, falsi, xn)
+        return xn, lo, hi, glo, ghi
 
-    x, lo, hi = jax.lax.fori_loop(0, iters, body, (x0, lo, hi))
+    x, lo, hi, glo, ghi = jax.lax.fori_loop(0, iters, body,
+                                            (x0, lo, hi, glo, ghi))
     return x
 
 

@@ -173,18 +173,8 @@ def eval_log_sum_exp(x):
 
 
 def epi_log_sum_exp(v, s):
-    """Projection onto {(x, t): logsumexp(x) <= t} via outer bisection on
-    lambda (``log_sum_exp.cc`` NewtonEpigraph semantics)."""
-    from .util import bisect
-
-    def g(lam):
-        x = prox_log_sum_exp(v, lam)
-        return eval_log_sum_exp(x) - s - lam
-
-    inactive = eval_log_sum_exp(v) <= s
-    lam = bisect(lambda t: -g(t), jnp.asarray(0.0, v.dtype),
-                 jnp.asarray(1e6, v.dtype) + jnp.max(jnp.abs(v)) + jnp.abs(s),
-                 iters=90)
-    x = prox_log_sum_exp(v, lam)
-    t = s + lam
-    return jnp.where(inactive, v, x), jnp.where(inactive, s, t)
+    """Projection onto {(x, t): logsumexp(x) <= t} via arrowhead-KKT Newton
+    with the Sherman-Morrison rank-1 metric solve (``log_sum_exp.cc:21-78``,
+    ``newton.cc:109-190``)."""
+    from .newton_epi import epi_log_sum_exp as _newton_lse
+    return _newton_lse(v, s)

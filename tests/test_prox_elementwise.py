@@ -307,3 +307,81 @@ def test_epi_sum_kl_div(trial):
         return z, uu
 
     check_epigraph(f, vv, s, xx, t, feasible_sampler=sampler, rng=rng, tol=1e-5)
+
+
+# -- Newton epigraphs for the smooth family (newton_epi.py; newton.cc:109-190)
+
+def _registry_epi(kind):
+    from epsilon_tpu.ops.prox.registry import KERNELS
+    return KERNELS[kind].epi
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_epi_sum_exp(trial):
+    from epsilon_tpu.ir import ProxKind
+    rng = np.random.RandomState(170 + trial)
+    v = rng.randn(6) * (1 + trial * 0.5)
+    s = rng.randn() * 2
+    x, t = _registry_epi(ProxKind.SUM_EXP)(jnp.asarray(v), s)
+    check_epigraph(lambda z: np.sum(np.exp(z)), v, s, np.asarray(x),
+                   float(t), rng=rng)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_epi_sum_logistic(trial):
+    from epsilon_tpu.ir import ProxKind
+    rng = np.random.RandomState(180 + trial)
+    v = rng.randn(6) * (1 + trial)
+    s = rng.randn() * 2
+    x, t = _registry_epi(ProxKind.SUM_LOGISTIC)(jnp.asarray(v), s)
+    check_epigraph(lambda z: np.sum(np.logaddexp(0.0, z)), v, s,
+                   np.asarray(x), float(t), rng=rng)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_epi_sum_inv_pos(trial):
+    from epsilon_tpu.ir import ProxKind
+    rng = np.random.RandomState(190 + trial)
+    v = np.abs(rng.randn(6)) + 0.2
+    s = abs(rng.randn()) * 20
+
+    def f(z):
+        if np.any(z <= 0):
+            return np.inf
+        return np.sum(1.0 / z)
+
+    x, t = _registry_epi(ProxKind.SUM_INV_POS)(jnp.asarray(v), s)
+    x = np.asarray(x)
+    assert np.all(x > 0)
+
+    def sampler(rng):
+        z = np.abs(x + 10.0 ** rng.uniform(-3, 0) * rng.randn(6)) + 1e-5
+        u = f(z) + abs(rng.randn()) * 10.0 ** rng.uniform(-3, 1)
+        return z, u
+
+    check_epigraph(f, v, s, x, float(t), feasible_sampler=sampler, rng=rng)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_epi_sum_neg_entr(trial):
+    from epsilon_tpu.ir import ProxKind
+    rng = np.random.RandomState(210 + trial)
+    v = np.abs(rng.randn(6)) + 0.05
+    s = rng.randn()
+
+    def f(z):
+        if np.any(z < 0):
+            return np.inf
+        with np.errstate(all="ignore"):
+            return float(np.sum(np.where(z > 0, z * np.log(np.maximum(z, 1e-300)), 0.0)))
+
+    x, t = _registry_epi(ProxKind.SUM_NEG_ENTR)(jnp.asarray(v), s)
+    x = np.asarray(x)
+    assert np.all(x >= 0)
+
+    def sampler(rng):
+        z = np.abs(x + 10.0 ** rng.uniform(-3, 0) * rng.randn(6)) + 1e-8
+        u = f(z) + abs(rng.randn()) * 10.0 ** rng.uniform(-3, 1)
+        return z, u
+
+    check_epigraph(f, v, s, x, float(t), feasible_sampler=sampler, rng=rng)
