@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the consensus ADMM hot loop.
+"""Pallas TPU kernels for the ADMM hot loops.
 
 The consensus x-update chain — per block i:
 
@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_local_update", "local_update_reference", "pallas_supported"]
+__all__ = ["fused_local_update", "local_update_reference", "pallas_supported",
+           "pack_sym_tiles", "sym_packed_matmul"]
 
 
 def local_update_reference(Finv, Atb, u, z, rho):
@@ -99,3 +100,101 @@ def fused_local_update(Finv, Atb, u, z, rho, interpret: bool = False):
         interpret=interpret,
     )(z2, Finv, Atb3, u3)
     return x[:, 0, :], xu[0]
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-packed apply: y = M @ x for symmetric M, reading only the lower
+# triangle.
+#
+# Large cached KKT pivots (CholFactorOp explicit inverses,
+# `ops/linop.py`) apply as dense n x n matvecs, whose cost at n >~ 8k is
+# pure HBM traffic (reference equivalent: the cached LDL^T solve of
+# `block_cholesky.cc:86-137`, which is CPU-sequential and has no TPU
+# analogue).  The inverse is *symmetric*, so only the lower triangle
+# (n^2/2 elements) needs to leave HBM: this kernel streams the packed
+# lower-triangle tiles through VMEM once, applying each off-diagonal tile
+# twice (as M_ij @ x_j into row-block i, and M_ij^T @ x_i into row-block
+# j) — halving memory traffic vs the full dense matmul, which is a ~2x
+# wall-clock win in the bandwidth-bound regime.
+#
+# Layout: x and y are held transposed, (R, n_pad), so the n axis lies on
+# lanes and T-aligned lane slices are legal; both stay resident in VMEM
+# across the whole grid while tiles stream by.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+def pack_sym_tiles(M, tile: int = 256, dtype=None):
+    """Pack the lower triangle of symmetric ``M`` (host numpy, n x n) into
+    ``(tiles, ii, jj, n_pad)``: ``tiles[k]`` is the (tile x tile) block at
+    block-coords ``(ii[k], jj[k])``, ``ii >= jj``, diagonal blocks first
+    ordering not required.  Rows/cols are zero-padded to a tile multiple."""
+    import numpy as np
+    n = M.shape[0]
+    B = -(-n // tile)
+    n_pad = B * tile
+    Mp = np.zeros((n_pad, n_pad), dtype=dtype or M.dtype)
+    Mp[:n, :n] = M
+    ks = [(i, j) for i in range(B) for j in range(i + 1)]
+    tiles = np.stack([Mp[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile]
+                      for i, j in ks])
+    ii = np.array([i for i, _ in ks], dtype=np.int32)
+    jj = np.array([j for _, j in ks], dtype=np.int32)
+    return tiles, ii, jj, n_pad
+
+
+def _sym_kernel(ii_ref, jj_ref, tile_ref, x_ref, y_ref):
+    k = pl.program_id(0)
+    T = tile_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        y_ref[:, :] = jnp.zeros_like(y_ref)
+
+    i = ii_ref[k]
+    j = jj_ref[k]
+    t = tile_ref[0]                      # (T, T)
+    xj = x_ref[:, pl.ds(j * T, T)]       # (R, T)
+    # row-block i of y (transposed layout): y_i += (M_ij @ x_j)^T = x_j @ t^T
+    contrib_i = jax.lax.dot_general(
+        xj, t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(y_ref.dtype)
+    y_ref[:, pl.ds(i * T, T)] += contrib_i
+
+    @pl.when(i != j)
+    def _():
+        xi = x_ref[:, pl.ds(i * T, T)]
+        contrib_j = jax.lax.dot_general(
+            xi, t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(y_ref.dtype)
+        y_ref[:, pl.ds(j * T, T)] += contrib_j
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sym_packed_matmul(tiles, ii, jj, x, interpret: bool = False):
+    """``y = M @ x`` with M given as packed lower-triangle ``tiles`` at
+    block coords ``(ii, jj)``.  ``x``: (n_pad, R); returns (n_pad, R).
+    R is padded to 8 sublanes internally."""
+    K, T, _ = tiles.shape
+    n_pad, R = x.shape
+    Rp = max(8, -(-R // 8) * 8)
+    xt = jnp.zeros((Rp, n_pad), x.dtype).at[:R, :].set(x.T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, T, T), lambda k, ii, jj: (k, 0, 0)),
+            pl.BlockSpec((Rp, n_pad), lambda k, ii, jj: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Rp, n_pad), lambda k, ii, jj: (0, 0)),
+    )
+    yt = pl.pallas_call(
+        _sym_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, n_pad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(ii, jj, tiles, xt)
+    return yt[:R, :].T

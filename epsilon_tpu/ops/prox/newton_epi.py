@@ -33,8 +33,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["newton_epigraph", "make_epigraph", "lse_metric_solve",
-           "epi_log_sum_exp", "epi_sum_kl_div"]
+__all__ = ["newton_epigraph", "implicit_newton_epigraph", "make_epigraph",
+           "lse_metric_solve", "epi_log_sum_exp", "epi_sum_kl_div"]
 
 
 def _domain_eps(dtype):
@@ -119,6 +119,68 @@ def newton_epigraph(v, s, feval: Callable, fgrad: Callable,
     return x, s + lam
 
 
+def implicit_newton_epigraph(v, s, feval: Callable, fgrad: Callable,
+                             prox: Callable,
+                             fhess: Optional[Callable] = None,
+                             proj: Optional[Callable] = None,
+                             metric_solve: Optional[Callable] = None,
+                             iters: int = 24):
+    """Active-case epigraph projection via safeguarded Newton on the scalar
+    implicit function ``h(lam) = f(prox(v, lam)) - s - lam``, which is
+    strictly decreasing with the closed-form derivative
+
+        h'(lam) = -g^T (I + lam*Hess f)^{-1} g - 1,   g = grad f(x(lam))
+
+    (differentiate the stationarity ``x - v + lam*g(x) = 0``).  Every
+    iterate stays exactly on the ``r1 = 0`` manifold (the inner prox is the
+    kind's own quadratically-convergent kernel), so unlike the joint
+    arrowhead Newton there is no line search to stall: a bracket
+    [lo (h>0), hi (h<0)] is maintained and out-of-bracket Newton steps fall
+    back to doubling/bisection — globally convergent, quadratic near the
+    root.  TPU re-design of ``ImplicitNewton``
+    (``src/epsilon/prox/newton.cc:192-237``)."""
+    v = jnp.asarray(v)
+    dtype = v.dtype
+    s = jnp.asarray(s, dtype=dtype)
+    if proj is None:
+        proj = lambda x: x
+    if metric_solve is None:
+        if fhess is None:
+            raise ValueError("need fhess or metric_solve")
+
+        def metric_solve(x, lam, r):
+            return r / (1.0 + lam * fhess(x))
+
+    floor = jnp.asarray(_domain_eps(dtype), dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+
+    def h_and_x(lam):
+        x = proj(prox(v, lam))
+        return feval(x) - s - lam, x
+
+    def body(_, carry):
+        lam, lo, hi = carry
+        h, x = h_and_x(lam)
+        g = fgrad(x)
+        hp = -jnp.vdot(g, metric_solve(x, lam, g)) - 1.0
+        # shrink the bracket around the root of the decreasing h
+        lo = jnp.where(h > 0, jnp.maximum(lo, lam), lo)
+        hi = jnp.where(h <= 0, jnp.minimum(hi, lam), hi)
+        lam_n = lam - h / hp
+        # out-of-bracket -> double up while hi unknown, else bisect
+        fallback = jnp.where(hi >= big, jnp.maximum(4.0 * lam, 1.0),
+                             0.5 * (lo + hi))
+        bad = (lam_n <= lo) | (lam_n >= hi) | ~jnp.isfinite(lam_n)
+        lam_n = jnp.where(bad, fallback, lam_n)
+        return lam_n, lo, hi
+
+    lam0 = jnp.asarray(1.0, dtype)
+    lam, _, _ = jax.lax.fori_loop(
+        0, iters, body, (lam0, floor, big * 2))
+    x = proj(prox(v, lam))
+    return x, s + jnp.maximum(feval(x) - s, lam)
+
+
 def make_epigraph(feval, fgrad, fhess=None, proj=None, metric_solve=None,
                   dom=None, prox=None, iters: int = 13):
     """Build a full epigraph kernel ``epi(v, s) -> (x, t)`` including the
@@ -128,9 +190,14 @@ def make_epigraph(feval, fgrad, fhess=None, proj=None, metric_solve=None,
     sum 1/x at negative x)."""
 
     def epi(v, s, **_):
-        x, t = newton_epigraph(v, s, feval, fgrad, fhess=fhess, proj=proj,
-                               metric_solve=metric_solve, prox=prox,
-                               iters=iters)
+        if prox is not None:
+            x, t = implicit_newton_epigraph(
+                v, s, feval, fgrad, prox, fhess=fhess, proj=proj,
+                metric_solve=metric_solve, iters=iters + 11)
+        else:
+            x, t = newton_epigraph(v, s, feval, fgrad, fhess=fhess,
+                                   proj=proj, metric_solve=metric_solve,
+                                   prox=prox, iters=iters)
         inactive = feval(v) <= s
         if dom is not None:
             inactive = inactive & dom(v)
@@ -147,7 +214,10 @@ def lse_metric_solve(x, lam, r):
     d = 1.0 + lam * p
     Dinv_r = r / d
     Dinv_p = p / d
-    denom = 1.0 - lam * jnp.vdot(p, Dinv_p)   # > 0 always (p^T D^-1 p < 1/lam)
+    # 1 - lam*p'D^-1 p == sum_i p_i/(1+lam p_i): always > 0, and the sum
+    # form avoids the catastrophic cancellation of the difference form at
+    # lam >> 1
+    denom = jnp.sum(Dinv_p)
     return Dinv_r + lam * Dinv_p * jnp.vdot(p, Dinv_r) / denom
 
 
@@ -203,8 +273,8 @@ def epi_sum_kl_div(u, w, s):
         return jnp.concatenate([x, y], axis=-1)
 
     vz = jnp.concatenate([u, w], axis=-1)
-    xz, t = newton_epigraph(vz, s, feval, fgrad, proj=proj,
-                            metric_solve=metric_solve, prox=prox)
+    xz, t = implicit_newton_epigraph(vz, s, feval, fgrad, prox, proj=proj,
+                                     metric_solve=metric_solve)
     x, y = unpack(xz)
     fv = eval_sum_kl_div(jnp.maximum(u, eps), jnp.maximum(w, eps))
     inactive = jnp.all(u > 0) & jnp.all(w > 0) & (fv <= s)

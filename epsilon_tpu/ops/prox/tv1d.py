@@ -12,7 +12,22 @@ whose x-update ``(I + rho D^T D)^{-1} r`` is solved *exactly* in closed form
 in the DCT-II basis (D^T D is the free-boundary 1-D Laplacian with
 eigenvalues ``2 - 2 cos(pi k / n)``), giving an O(n log n) FFT-based direct
 solve per iteration — no tridiagonal scans, no data-dependent control flow.
-Converges linearly; ~100 iterations reaches ~1e-8 on typical signals.
+
+Accuracy is *certified*, not assumed: the TV-denoising dual
+
+    max_{|z|_inf <= lam}  v.(D^T z) - (1/2)||D^T z||^2,   x = v - D^T z
+
+gives, for ANY feasible z (we clip the running scaled ADMM dual), a
+primal-feasible candidate ``x_d = v - D^T z`` whose duality gap reduces to
+the elementwise-nonnegative sum
+
+    gap(z) = sum_i [ lam*|d_i| - z_i*d_i ],   d = D x_d,
+
+and 1-strong convexity of the primal yields the certificate
+``||x_d - x*||^2 <= 2*gap``.  :func:`prox_tv1d` runs epochs of ADMM
+iterations under ``lax.while_loop``, stopping when the certified gap meets
+tolerance (with residual-balancing rho adaptation between epochs) and
+returns the *dual-certified* point ``x_d``.
 
 A sequential exact host implementation lives in
 :mod:`epsilon_tpu.native` (tf_dp-equivalent, for CPU offline use).
@@ -24,8 +39,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["prox_tv1d", "eval_tv1d", "neumann_laplacian_solve"]
+__all__ = ["prox_tv1d", "prox_tv1d_certified", "prox_tv1d_multiscale",
+           "eval_tv1d", "neumann_laplacian_solve",
+           "neumann_laplacian_solve_conv", "tv1d_gap"]
 
 
 def neumann_laplacian_solve(r, rho):
@@ -40,6 +58,46 @@ def neumann_laplacian_solve(r, rho):
     eig = 2.0 - 2.0 * jnp.cos(jnp.pi * k / n)
     x = jnp.fft.irfft(R / (1.0 + rho * eig), n=2 * n, axis=-1)
     return x[..., :n].astype(r.dtype)
+
+
+def neumann_laplacian_solve_conv(r, rho, taps: int = 256, block: int = 256):
+    """Same solve as :func:`neumann_laplacian_solve` via the decaying
+    Toeplitz inverse kernel instead of FFT.  The infinite-grid inverse of
+    ``I + rho*D^T D`` is ``g[d] = q^|d| / sqrt(1+4 rho)`` with
+    ``q = (1+2 rho - sqrt(1+4 rho)) / (2 rho)`` (|q|<1), so the solve is a
+    (2*taps-1)-tap correlation of the 'symmetric'-padded signal.
+
+    Realized as overlapping frames x banded-Toeplitz MATMUL — XLA's 1D conv
+    lowers to a ~1 GFLOP/s scalar path on TPU, while this form is pure MXU:
+    frames (n/block, block+2*taps-2) gathered once, times the in-graph
+    Toeplitz T[w, j] = g[w - j] (computable from a *traced* rho, so
+    residual-balancing rho updates cost nothing).  Truncation error is
+    ``O(q^taps * ||r||_inf)``; callers that need exactness certify a
+    posteriori (the duality-gap certificate in :func:`prox_tv1d_certified`
+    is oblivious to how x was produced)."""
+    dt = r.dtype
+    n = r.shape[-1]
+    K, C = taps, block
+    W = C + 2 * K - 2
+    F = -(-n // C)
+    rho = jnp.asarray(rho, dt)
+    s = jnp.sqrt(1.0 + 4.0 * rho)
+    q = jnp.where(rho > 0, (1.0 + 2.0 * rho - s) / (2.0 * rho), 0.0)
+
+    # banded Toeplitz (W, C): T[w, j] = q^|w-j-(K-1)| / s inside the band
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (W, C), 1)
+    d = w_idx - j_idx - (K - 1)
+    band = (d > -K) & (d < K)
+    T = jnp.where(band, jnp.power(q, jnp.abs(d).astype(dt)) / s, 0.0)
+
+    ext = jnp.pad(r, (K - 1, K - 1 + F * C - n), mode="symmetric")
+    idx = (C * jnp.arange(F, dtype=jnp.int32)[:, None]
+           + jnp.arange(W, dtype=jnp.int32)[None, :])
+    frames = jnp.take(ext, idx, axis=0)
+    acc = jnp.promote_types(dt, jnp.float32)
+    y = jnp.dot(frames, T, preferred_element_type=acc).astype(dt)
+    return y.reshape(F * C)[:n]
 
 
 def _diff(x):
@@ -80,6 +138,254 @@ def prox_tv1d(v, lam, iters: int = 150, rho: float = 1.0):
     # final primal-feasible polish: project x to be consistent with w on
     # converged segments is unnecessary; return x directly
     return x
+
+
+def tv1d_gap(v, lam, z):
+    """Primal-dual gap of the feasible dual candidate ``z`` (``|z| <= lam``
+    assumed): returns ``(x_d, gap)`` with ``x_d = v - D^T z`` primal and
+    ``gap = sum_i lam*|d_i| - z_i*d_i`` (``d = D x_d``), an elementwise-
+    nonnegative sum, hence numerically stable.  ``||x_d - x*||^2 <= 2*gap``."""
+    xd = v - _diff_t(z)
+    d = _diff(xd)
+    gap = jnp.sum(lam * jnp.abs(d) - z * d)
+    return xd, gap
+
+
+@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def prox_tv1d_certified(v, lam, tol=None, max_iters=3000, check_every=32,
+                        rho0=1.0, w0=None, u0=None):
+    """Gap-certified TV prox: DR/ADMM epochs under ``lax.while_loop`` with
+    residual-balancing rho adaptation, stopping when the certified duality
+    gap satisfies ``gap <= 0.5*(tol*scale)^2`` (``scale = max(1, ||v||_2)``),
+    i.e. ``||x - x*||_2 <= tol*scale``.  Returns ``(x_d, gap, iters)`` where
+    ``x_d`` is the dual-certified primal point.
+
+    Replaces the reference's exact-but-sequential glmgen ``tf_dp``
+    (``total_variation_1d.cc:6-25``) with a TPU-parallel method carrying an
+    a-posteriori exactness certificate."""
+    dt = v.dtype
+    n = v.shape[-1]
+    lam = jnp.asarray(lam, dt)
+    if tol is None:
+        tol = 64.0 * float(jnp.finfo(dt).eps)
+    scale = jnp.maximum(1.0, jnp.sqrt(jnp.sum(v * v)))
+    gap_tol = 0.5 * (jnp.asarray(tol, dt) * scale) ** 2
+
+    # x-update solver: MXU conv with truncated inverse kernel for long
+    # signals (rho clamped so the kernel tail is < ~1e-8), exact FFT solve
+    # for short ones (where the conv padding would exceed the signal)
+    taps = 256
+    if n >= 2 * taps:   # conv framing pads up to 2*taps-2 on the right
+        rho_hi = jnp.asarray(200.0, dt)
+        solve = partial(neumann_laplacian_solve_conv, taps=taps)
+    else:
+        rho_hi = jnp.asarray(jnp.inf, dt)
+        solve = neumann_laplacian_solve
+
+    if w0 is None:
+        w0 = _soft(_diff(v), lam)
+    if u0 is None:
+        u0 = jnp.zeros_like(w0)
+    # the w-update threshold is lam/rho: start rho at ~lam so the first
+    # epochs already operate at the right shrinkage scale (residual
+    # balancing refines from there)
+    rho_init = jnp.minimum(jnp.maximum(jnp.asarray(rho0, dt), lam), rho_hi)
+
+    def epoch_body(state):
+        w, u, rho, it, _gap = state
+
+        def inner(_, s):
+            w, w_prev, u = s
+            x = solve(v + rho * _diff_t(w - u), rho)
+            # over-relaxation (alpha = 1.8) on the splitting variable
+            dx = 1.8 * _diff(x) + (1.0 - 1.8) * w
+            w_new = _soft(dx + u, lam / rho)
+            u = u + dx - w_new
+            return w_new, w, u
+
+        w, w_prev, u = jax.lax.fori_loop(
+            0, check_every, inner, (w, w, u))
+        # residual balancing (He-Yang-Wang): scaled dual u tracks y/rho
+        x = solve(v + rho * _diff_t(w - u), rho)
+        r_p = jnp.sqrt(jnp.sum((_diff(x) - w) ** 2))
+        r_d = rho * jnp.sqrt(jnp.sum(_diff_t(w - w_prev) ** 2))
+        grow = r_p > 10.0 * r_d
+        shrink = r_d > 10.0 * r_p
+        fac = jnp.where(grow, 2.0, jnp.where(shrink, 0.5, 1.0)).astype(dt)
+        rho = jnp.minimum(rho * fac, rho_hi)
+        u = u * (state[2] / rho)
+        z = jnp.clip(rho * u, -lam, lam)
+        _, gap = tv1d_gap(v, lam, z)
+        return w, u, rho, it + check_every, gap
+
+    def cond(state):
+        _w, _u, _rho, it, gap = state
+        return jnp.logical_and(it < max_iters, gap > gap_tol)
+
+    gap_init = jnp.asarray(jnp.inf, dt)
+    w, u, rho, iters, gap = jax.lax.while_loop(
+        cond, epoch_body, (w0, u0, rho_init, jnp.zeros((), jnp.int32),
+                           gap_init))
+    z = jnp.clip(rho * u, -lam, lam)
+    xd, gap = tv1d_gap(v, lam, z)
+    return xd, gap, iters
+
+
+def pcr_tridiag_solve(a, b, c, d):
+    """Solve the tridiagonal system ``a_i z_{i-1} + b_i z_i + c_i z_{i+1}
+    = d_i`` by parallel cyclic reduction: ceil(log2 n) elimination rounds of
+    pure elementwise ops and static shifts — O(n log n) work at O(log n)
+    depth, the TPU-parallel replacement for the sequential Thomas algorithm.
+    Stable for the diagonally-dominant M-matrix systems produced by
+    :func:`prox_tv1d_pdas`.  Out-of-range neighbours are identity rows."""
+    n = a.shape[-1]
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+    def shift(x, s, fill):
+        # x shifted so result[i] = x[i - s] (s may be negative)
+        if s >= 0:
+            return jnp.concatenate([jnp.full((s,), fill, x.dtype), x[:n - s]])
+        s = -s
+        return jnp.concatenate([x[s:], jnp.full((s,), fill, x.dtype)])
+
+    for k in range(steps):
+        s = 1 << k
+        bm, bp = shift(b, s, 1.0), shift(b, -s, 1.0)
+        am, ap = shift(a, s, 0.0), shift(a, -s, 0.0)
+        cm, cp = shift(c, s, 0.0), shift(c, -s, 0.0)
+        dm, dp = shift(d, s, 0.0), shift(d, -s, 0.0)
+        alpha = -a / bm
+        gamma = -c / bp
+        a = alpha * am
+        c = gamma * cp
+        b = b + alpha * cm + gamma * ap
+        d = d + alpha * dm + gamma * dp
+    return d / b
+
+
+def prox_tv1d_pdas(v, lam, max_iters: int = 40, z0=None):
+    """Exact-convergent TV prox via primal-dual active set (semismooth
+    Newton) on the dual box-QP
+
+        min_z  (1/2)||D^T z - v||^2   s.t.  |z| <= lam,
+
+    whose Hessian ``D D^T`` is a tridiagonal M-matrix: each PDAS round
+    guesses the active bound set from the primal-dual indicator, pins those
+    coordinates at +-lam, solves the remaining (still tridiagonal) system
+    with :func:`pcr_tridiag_solve`, and repeats until the active set is a
+    fixed point — typically 10-20 rounds, each O(n log n)/O(log n)-depth,
+    with *finite* termination (Hintermueller-Ito-Kunisch; the M-matrix
+    structure is the favourable case).  The returned gap is the same
+    a-posteriori duality-gap certificate as :func:`prox_tv1d_certified`.
+    Replaces glmgen ``tf_dp`` (``total_variation_1d.cc:6-25``) at scale.
+    Returns ``(x, gap, iters)``."""
+    v = jnp.asarray(v)
+    dt = v.dtype
+    lamd = jnp.asarray(lam, dt)
+    n = v.shape[-1]
+    dv = _diff(v)
+    m = n - 1
+    if z0 is None:
+        z0 = jnp.zeros((m,), dt)
+
+    def qmul(z):
+        return _diff(_diff_t(z))        # D D^T z (tridiag [-1, 2, -1])
+
+    def body(carry):
+        z, _changed, it, act_prev = carry
+        g = qmul(z) - dv
+        # PDAS indicator (mu = -g): active_hi where mu + (z - lam) > 0
+        act_hi = (-g + (z - lamd)) > 0
+        act_lo = (-g + (z + lamd)) < 0
+        act = act_hi.astype(jnp.int8) - act_lo.astype(jnp.int8)
+        inactive = act == 0
+        one = jnp.ones((), dt)
+        b = jnp.where(inactive, 2.0 * one, one)
+        a = jnp.where(inactive, -one, 0.0)
+        c = jnp.where(inactive, -one, 0.0)
+        # neighbours' couplings to pinned rows move to the RHS implicitly:
+        # pinned rows read z = +-lam exactly, and inactive rows keep their
+        # full stencil, so fold the pinned values into d via the solve on
+        # the full modified system
+        pin = jnp.where(act_hi, lamd, -lamd)
+        d = jnp.where(inactive, dv, pin)
+        # inactive rows still reference active neighbours through a/c: keep
+        # those couplings (the pinned row's equation z_i = pin makes the
+        # joint system correct)
+        z_new = pcr_tridiag_solve(a, b, c, d)
+        # projected line search on the dual objective J = 1/2||D^T z - v||^2:
+        # plain PDAS can 2-cycle between active-set guesses; damping toward
+        # the incumbent restores monotone decrease while full steps near the
+        # solution keep the finite-termination endgame
+        def J(zt):
+            r = _diff_t(zt) - v
+            return jnp.sum(r * r)
+
+        alphas = (0.5 ** jnp.arange(6)).astype(dt)
+        trials = jax.vmap(
+            lambda al: J(jnp.clip(z + al * (z_new - z), -lamd, lamd)))(alphas)
+        J0 = J(z)
+        full_ok = trials[0] <= J0 * (1.0 + 64.0 * jnp.finfo(dt).eps)
+        idx = jnp.where(full_ok, 0, jnp.argmin(trials))
+        z_next = jnp.clip(z + alphas[idx] * (z_new - z), -lamd, lamd)
+        # keep the incumbent if even the best trial is worse
+        worse = trials[idx] > J0
+        z_next = jnp.where(worse, z, z_next)
+        settled = jnp.all(act == act_prev) & full_ok
+        return z_next, ~settled, it + 1, act
+
+    def cond(carry):
+        _z, changed, it, _act = carry
+        return changed & (it < max_iters)
+
+    act0 = jnp.full((m,), 127, jnp.int8)   # sentinel: never equals first act
+    z, _, iters, _ = jax.lax.while_loop(
+        cond, body, (z0, jnp.asarray(True), jnp.zeros((), jnp.int32), act0))
+    z = jnp.clip(z, -lamd, lamd)
+    x, gap = tv1d_gap(v, lamd, z)
+    return x, gap, iters
+
+
+def prox_tv1d_multiscale(v, lam, tol=1e-6, coarse_n: int = 2048,
+                         fine_iters: int = 512, check_every: int = 32):
+    """Gap-certified TV prox for LONG signals via multiscale continuation.
+
+    Plain DR propagates information only ~sqrt(rho) positions per iteration,
+    so signals with long flat segments (the canonical 1M-point trend-filter
+    workload, BASELINE config[2]) converge slowly from a cold start.  The
+    coarse-to-fine cure: pair-decimation of the prox is again a TV prox —
+    averaging pairs gives ``argmin sum 2*(x_c - v_c)^2/2 + lam*TV(x_c)``,
+    i.e. ``prox_{(lam/2) TV}(v_c)`` — so we recurse to <= ``coarse_n``
+    points, upsample, and rebuild the *dual* from the primal candidate via
+    the KKT identity ``z = -cumsum(v - x)`` (an associative scan), giving a
+    fully warm primal-dual start for a short certified fine-level solve.
+    Every level's solve carries the same duality-gap certificate; the
+    returned gap is the FINE-level certificate, so coarse-level error never
+    goes unnoticed.  Returns ``(x, gap, iters_at_finest)``."""
+    v = jnp.asarray(v)
+    n = v.shape[-1]
+    if n <= coarse_n:
+        return prox_tv1d_certified(v, lam, tol=tol)
+    if n % 2:
+        x, gap, iters = prox_tv1d_multiscale(
+            jnp.pad(v, (0, 1), mode="edge"), lam, tol=tol,
+            coarse_n=coarse_n, fine_iters=fine_iters)
+        return x[:n], gap, iters
+
+    vc = 0.5 * (v[0::2] + v[1::2])
+    xc, _, _ = prox_tv1d_multiscale(vc, 0.5 * jnp.asarray(lam, v.dtype),
+                                    tol=tol, coarse_n=coarse_n,
+                                    fine_iters=fine_iters)
+    x_hat = jnp.repeat(xc, 2)
+    # dual candidate from stationarity v - x = D^T z:  z_k = -sum_{i<=k}(v-x)
+    z = -jnp.cumsum(v - x_hat)[:-1]
+    lamd = jnp.asarray(lam, v.dtype)
+    z = jnp.clip(z, -lamd, lamd)
+    rho0 = jnp.maximum(jnp.asarray(1.0, v.dtype), lamd)
+    w0 = _diff(x_hat)
+    u0 = z / jnp.minimum(rho0, 200.0)
+    return prox_tv1d_certified(v, lam, tol=tol, max_iters=fine_iters,
+                               check_every=check_every, w0=w0, u0=u0)
 
 
 def eval_tv1d(x):

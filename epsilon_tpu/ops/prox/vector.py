@@ -151,21 +151,41 @@ def project_soc_rows(X, t, beta=1.0):
 # ---------------------------------------------------------------------------
 
 def prox_log_sum_exp(v, lam):
-    def body(_, x):
-        p = jax.nn.softmax(x)
-        g = x + lam * p - v
-        # H = I + lam*(diag(p) - p p^T);  H^{-1} g via Sherman-Morrison:
-        # H = D - lam p p^T with D = I + lam diag(p)
-        d = 1.0 + lam * p
-        Dinv_g = g / d
-        Dinv_p = p / d
-        denom = 1.0 - lam * jnp.dot(p, Dinv_p)
-        step = Dinv_g + lam * Dinv_p * jnp.dot(p, Dinv_g) \
-            / jnp.maximum(denom, jnp.finfo(x.dtype).tiny)
-        return x - step
+    """Moreau-dual solve, robust for ALL lam (the joint-Newton form 2-cycles
+    at lam >> |v|):  prox_{lam*LSE}(v) = v - q  where  q = lam*p,  p in the
+    simplex minimizes the entropic projection (LSE* = neg-entropy on the
+    simplex).  Stationarity gives the elementwise Lambert-type equation
 
-    x0 = v - lam * jax.nn.softmax(v)
-    return jax.lax.fori_loop(0, 50, body, x0)
+        q_i + log q_i = v_i + log lam - 1 - nu   (q_i = solve_w_log_w)
+
+    closed by the monotone scalar condition sum_i q_i = lam, solved with
+    bracketed safeguarded Newton.  Both bracket endpoints are log-lam-free
+    after cancellation, so the method is stable from lam = 1e-6 to 1e+6
+    (``log_sum_exp.cc:21-78`` parity at extremes the reference never
+    reaches)."""
+    from .util import newton_safeguarded, solve_w_log_w
+    v = jnp.asarray(v)
+    dt = v.dtype
+    lam = jnp.asarray(lam, dt)
+    n = v.shape[-1] if v.ndim else 1
+    c0 = v + jnp.log(lam) - 1.0
+    lse_c0 = jax.scipy.special.logsumexp(c0)
+    # W(c) <= e^c  =>  at hi = LSE(c0) - log lam + 1, sum q <= lam/e < lam;
+    # W(lam/n + log(lam/n)) = lam/n  =>  at lo, every q_i >= lam/n
+    lo = jnp.min(c0) - lam / n - jnp.log(lam / n)
+    hi = lse_c0 - jnp.log(lam) + 1.0
+
+    def g(nu):
+        return lam - jnp.sum(solve_w_log_w(c0 - nu))
+
+    def gp(nu):
+        q = solve_w_log_w(c0 - nu)
+        return jnp.sum(q / (1.0 + q))
+
+    nu0 = jnp.clip(lse_c0 - jnp.log(lam), lo, hi)
+    nu = newton_safeguarded(g, gp, nu0, lo, hi, iters=25)
+    q = solve_w_log_w(c0 - nu)
+    return v - q
 
 
 def eval_log_sum_exp(x):

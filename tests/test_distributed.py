@@ -1,0 +1,65 @@
+"""True multi-process jax.distributed test: 2 processes x 4 virtual CPU
+devices run the consensus lasso over a global 8-device mesh with gloo
+cross-process collectives, and the result must match the single-process
+solve bit-for-bit-close.
+
+This is the CI stand-in for the reference-replacement promise of SURVEY
+§2.4 (multi-host consensus over DCN): same solver code, same psum path,
+real process boundary.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from epsilon_tpu.parallel import consensus_lasso_solver
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_consensus_matches_single():
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    port = _free_port()
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "result.npz")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(2)]
+        outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{o}"
+        got = np.load(out)
+
+    # single-process reference (same data per distributed_worker.py)
+    S, m, n, lam = 8, 60, 40, 0.4
+    rng = np.random.RandomState(0)
+    A = rng.randn(S, m, n) / np.sqrt(m)
+    x0 = rng.randn(n) * (rng.rand(n) < 0.2)
+    b = np.einsum("smn,n->sm", A, x0) + 0.01 * rng.randn(S, m)
+    ref = consensus_lasso_solver(A, b, lam, rel_tol=1e-6, abs_tol=1e-9,
+                                 max_iterations=2000,
+                                 epoch_iterations=25).solve()
+
+    assert bool(got["converged"])
+    # psum tree-reduction order differs from the single-device sum, so the
+    # convergence boundary may be crossed one epoch apart — but both must
+    # land on the same solution
+    assert abs(int(got["iterations"]) - ref.iterations) <= 25
+    np.testing.assert_allclose(got["z"], np.asarray(ref.z), atol=1e-6)
