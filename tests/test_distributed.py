@@ -28,21 +28,32 @@ def _free_port():
     return port
 
 
+def _launch_workers(worker, port, out, env):
+    return [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+
+
 @pytest.mark.slow
 def test_two_process_consensus_matches_single():
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
-    port = _free_port()
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "result.npz")
         env = {k: v for k, v in os.environ.items()
                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
         env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            for pid in range(2)]
-        outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+        # _free_port close-then-rebind is racy under parallel CI: retry the
+        # whole launch on a fresh port if the coordinator can't bind
+        for attempt in range(3):
+            port = _free_port()
+            procs = _launch_workers(worker, port, out, env)
+            outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+            if all(p.returncode == 0 for p in procs):
+                break
+            if not any("Address already in use" in o for o in outs):
+                break
         for p, o in zip(procs, outs):
             assert p.returncode == 0, f"worker failed:\n{o}"
         got = np.load(out)

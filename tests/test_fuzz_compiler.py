@@ -24,6 +24,8 @@ import scipy.optimize
 import epsilon_tpu as ep
 
 
+
+pytestmark = pytest.mark.fuzz
 def _affine(rng, m, n):
     G = rng.randn(m, n) / np.sqrt(n)
     h = rng.randn(m) * 0.5

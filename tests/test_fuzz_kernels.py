@@ -24,6 +24,9 @@ from epsilon_tpu.ir import ProxKind
 from epsilon_tpu.ops.prox.registry import KERNELS
 from oracles import check_prox_vi
 
+
+pytestmark = pytest.mark.fuzz
+
 # ---------------------------------------------------------------------------
 # per-kind spec: (kind, params, numpy feval, v-sampler, v-scale cap (f64),
 #                 v-scale cap (f32))
