@@ -131,6 +131,7 @@ def _solve_single_prox(problem: api.Problem,
     from ..ops.prox.operator import create_prox_operator
     from ..ir import AffineOperator
 
+    config.set_prox_inner_tol(None)
     term = prox_problem.terms[0]
     dtype = config.default_dtype()
     lam = 1e12 if dtype == jnp.float64 else 1e6
@@ -165,6 +166,11 @@ def eval_prox(f, v_map: Dict[api.Variable, np.ndarray], lam: float = 1.0,
     (``prox.py:16-51``, ``solvemodule.cc:189-242``)."""
     from ..ops.prox.operator import create_prox_operator
     from ..ir import AffineOperator
+    from .. import config
+
+    # standalone prox evaluations certify at full (dtype sqrt-precision)
+    # accuracy, not whatever inner tol a previous solve left behind
+    config.set_prox_inner_tol(None)
 
     problem = ex.Problem(objective=api._wrap(f), constraints=[])
     prox_problem = compiler.compile_problem(problem)

@@ -169,7 +169,7 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
         epi=lambda v, s, **p: vec.epi_log_sum_exp(v, s),
         feval=lambda x, **p: vec.eval_log_sum_exp(x)),
     ProxKind.TOTAL_VARIATION_1D: KernelEntry(
-        prox=lambda v, lam, **p: tv1d.prox_tv1d_certified(v, lam)[0],
+        prox=lambda v, lam, **p: tv1d.prox_tv1d_registry(v, lam),
         feval=lambda x, **p: tv1d.eval_tv1d(x)),
     # matrix family ------------------------------------------------------
     ProxKind.SEMIDEFINITE: KernelEntry(

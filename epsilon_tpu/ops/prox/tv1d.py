@@ -42,8 +42,10 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["prox_tv1d", "prox_tv1d_certified", "prox_tv1d_multiscale",
+           "prox_tv1d_pdas", "prox_tv1d_registry", "pcr_tridiag_solve",
            "eval_tv1d", "neumann_laplacian_solve",
-           "neumann_laplacian_solve_conv", "tv1d_gap"]
+           "neumann_laplacian_solve_conv", "tv1d_gap", "tv_gap_tol",
+           "default_tv_tol"]
 
 
 def neumann_laplacian_solve(r, rho):
@@ -58,6 +60,29 @@ def neumann_laplacian_solve(r, rho):
     eig = 2.0 - 2.0 * jnp.cos(jnp.pi * k / n)
     x = jnp.fft.irfft(R / (1.0 + rho * eig), n=2 * n, axis=-1)
     return x[..., :n].astype(r.dtype)
+
+
+def default_tv_tol(dtype):
+    """Default certificate tolerance near sqrt-precision: the computed
+    duality gap has a roundoff floor ~ n*eps*lam*scale, so demanding
+    gap_tol = 0.5*(64*eps*scale)^2 is unreachable and the while_loop would
+    always run to max_iters (round-2 advisor finding).  sqrt-precision is
+    the tightest *certifiable* target: 1e-7 (f64) / 3e-4 (f32)."""
+    return 1e-7 if jnp.finfo(dtype).bits == 64 else 3e-4
+
+
+def pdas_default_tol(dtype):
+    """Tighter default for the PDAS kernel (see prox_tv1d_pdas)."""
+    return 1e-9 if jnp.finfo(dtype).bits == 64 else 3e-6
+
+
+def tv_gap_tol(v, tol):
+    """Gap threshold for ``||x - x*||_2 <= tol*scale``: 1-strong convexity
+    gives ``||x - x*||^2 <= 2*gap``, so stop at ``gap <= 0.5*(tol*scale)^2``
+    with ``scale = max(1, ||v||_2)``."""
+    dt = v.dtype
+    scale = jnp.maximum(1.0, jnp.sqrt(jnp.sum(v * v)))
+    return 0.5 * (jnp.asarray(tol, dt) * scale) ** 2
 
 
 def neumann_laplacian_solve_conv(r, rho, taps: int = 256, block: int = 256):
@@ -91,13 +116,15 @@ def neumann_laplacian_solve_conv(r, rho, taps: int = 256, block: int = 256):
     band = (d > -K) & (d < K)
     T = jnp.where(band, jnp.power(q, jnp.abs(d).astype(dt)) / s, 0.0)
 
-    ext = jnp.pad(r, (K - 1, K - 1 + F * C - n), mode="symmetric")
+    # pad only the signal (last) axis so leading batch axes pass through
+    pad = [(0, 0)] * (r.ndim - 1) + [(K - 1, K - 1 + F * C - n)]
+    ext = jnp.pad(r, pad, mode="symmetric")
     idx = (C * jnp.arange(F, dtype=jnp.int32)[:, None]
            + jnp.arange(W, dtype=jnp.int32)[None, :])
-    frames = jnp.take(ext, idx, axis=0)
+    frames = jnp.take(ext, idx, axis=-1)          # (..., F, W)
     acc = jnp.promote_types(dt, jnp.float32)
     y = jnp.dot(frames, T, preferred_element_type=acc).astype(dt)
-    return y.reshape(F * C)[:n]
+    return y.reshape(r.shape[:-1] + (F * C,))[..., :n]
 
 
 def _diff(x):
@@ -167,9 +194,8 @@ def prox_tv1d_certified(v, lam, tol=None, max_iters=3000, check_every=32,
     n = v.shape[-1]
     lam = jnp.asarray(lam, dt)
     if tol is None:
-        tol = 64.0 * float(jnp.finfo(dt).eps)
-    scale = jnp.maximum(1.0, jnp.sqrt(jnp.sum(v * v)))
-    gap_tol = 0.5 * (jnp.asarray(tol, dt) * scale) ** 2
+        tol = default_tv_tol(dt)
+    gap_tol = tv_gap_tol(v, tol)
 
     # x-update solver: MXU conv with truncated inverse kernel for long
     # signals (rho clamped so the kernel tail is < ~1e-8), exact FFT solve
@@ -263,7 +289,7 @@ def pcr_tridiag_solve(a, b, c, d):
     return d / b
 
 
-def prox_tv1d_pdas(v, lam, max_iters: int = 40, z0=None):
+def prox_tv1d_pdas(v, lam, tol=None, max_iters: int = 40, z0=None):
     """Exact-convergent TV prox via primal-dual active set (semismooth
     Newton) on the dual box-QP
 
@@ -276,15 +302,29 @@ def prox_tv1d_pdas(v, lam, max_iters: int = 40, z0=None):
     fixed point — typically 10-20 rounds, each O(n log n)/O(log n)-depth,
     with *finite* termination (Hintermueller-Ito-Kunisch; the M-matrix
     structure is the favourable case).  The returned gap is the same
-    a-posteriori duality-gap certificate as :func:`prox_tv1d_certified`.
+    a-posteriori duality-gap certificate as :func:`prox_tv1d_certified`,
+    also used as the per-round stop: the loop exits as soon as
+    ``gap <= tv_gap_tol(v, tol)`` (default tol: :func:`default_tv_tol`),
+    so inner work is bounded by the caller's accuracy demand.
     Replaces glmgen ``tf_dp`` (``total_variation_1d.cc:6-25``) at scale.
     Returns ``(x, gap, iters)``."""
     v = jnp.asarray(v)
     dt = v.dtype
     lamd = jnp.asarray(lam, dt)
     n = v.shape[-1]
+    if n <= 1:   # no differences: prox is the identity
+        return v, jnp.zeros((), dt), jnp.zeros((), jnp.int32)
     dv = _diff(v)
     m = n - 1
+    if tol is None:
+        # tighter than default_tv_tol: PDAS exits on the active-set fixed
+        # point when the dtype's gap floor is hit, so a tight default costs
+        # a handful of extra rounds, never a runaway loop (measured at
+        # n=1e6 f32: tol 3e-6 -> 16 rounds, max err 7e-6; tol 3e-4 -> 9
+        # rounds but max err 1.9 on long large-offset signals whose
+        # ||v||_2 scale makes the loose certificate nearly vacuous)
+        tol = pdas_default_tol(dt)
+    gap_tol = tv_gap_tol(v, tol)
     if z0 is None:
         z0 = jnp.zeros((m,), dt)
 
@@ -292,7 +332,7 @@ def prox_tv1d_pdas(v, lam, max_iters: int = 40, z0=None):
         return _diff(_diff_t(z))        # D D^T z (tridiag [-1, 2, -1])
 
     def body(carry):
-        z, _changed, it, act_prev = carry
+        z, _changed, it, act_prev, _gap = carry
         g = qmul(z) - dv
         # PDAS indicator (mu = -g): active_hi where mu + (z - lam) > 0
         act_hi = (-g + (z - lamd)) > 0
@@ -313,34 +353,43 @@ def prox_tv1d_pdas(v, lam, max_iters: int = 40, z0=None):
         # those couplings (the pinned row's equation z_i = pin makes the
         # joint system correct)
         z_new = pcr_tridiag_solve(a, b, c, d)
-        # projected line search on the dual objective J = 1/2||D^T z - v||^2:
+        # projected line search on the dual objective J = ||D^T z - v||^2:
         # plain PDAS can 2-cycle between active-set guesses; damping toward
         # the incumbent restores monotone decrease while full steps near the
-        # solution keep the finite-termination endgame
-        def J(zt):
-            r = _diff_t(zt) - v
-            return jnp.sum(r * r)
-
+        # solution keep the finite-termination endgame.  J is exactly
+        # quadratic, so each trial's CHANGE is evaluated without forming J
+        # itself:  J(z+e) - J(z) = 2 e.(Qz - dv) + e.Qe  (Q = D D^T) —
+        # every term scales with ||e||, so there is no large-sum
+        # cancellation (in f32 at n ~ 1e6, J-differencing is pure roundoff
+        # and the search used to stall; the quadratic form stays exact).
         alphas = (0.5 ** jnp.arange(6)).astype(dt)
-        trials = jax.vmap(
-            lambda al: J(jnp.clip(z + al * (z_new - z), -lamd, lamd)))(alphas)
-        J0 = J(z)
-        full_ok = trials[0] <= J0 * (1.0 + 64.0 * jnp.finfo(dt).eps)
+
+        def dJ(al):
+            e = jnp.clip(z + al * (z_new - z), -lamd, lamd) - z
+            return 2.0 * jnp.dot(e, g) + jnp.dot(e, qmul(e))
+
+        trials = jax.vmap(dJ)(alphas)
+        # descent slack at the roundoff scale of the quadratic form itself
+        tol0 = 64.0 * jnp.finfo(dt).eps * (1.0 + jnp.dot(dv, dv))
+        full_ok = trials[0] <= tol0
         idx = jnp.where(full_ok, 0, jnp.argmin(trials))
         z_next = jnp.clip(z + alphas[idx] * (z_new - z), -lamd, lamd)
-        # keep the incumbent if even the best trial is worse
-        worse = trials[idx] > J0
+        # keep the incumbent if even the best trial increases J
+        worse = trials[idx] > tol0
         z_next = jnp.where(worse, z, z_next)
         settled = jnp.all(act == act_prev) & full_ok
-        return z_next, ~settled, it + 1, act
+        _, gap = tv1d_gap(v, lamd, z_next)
+        return z_next, ~settled, it + 1, act, gap
 
     def cond(carry):
-        _z, changed, it, _act = carry
-        return changed & (it < max_iters)
+        _z, changed, it, _act, gap = carry
+        return changed & (it < max_iters) & (gap > gap_tol)
 
     act0 = jnp.full((m,), 127, jnp.int8)   # sentinel: never equals first act
-    z, _, iters, _ = jax.lax.while_loop(
-        cond, body, (z0, jnp.asarray(True), jnp.zeros((), jnp.int32), act0))
+    gap0 = jnp.asarray(jnp.inf, dt)
+    z, _, iters, _, _ = jax.lax.while_loop(
+        cond, body, (z0, jnp.asarray(True), jnp.zeros((), jnp.int32), act0,
+                     gap0))
     z = jnp.clip(z, -lamd, lamd)
     x, gap = tv1d_gap(v, lamd, z)
     return x, gap, iters
@@ -366,17 +415,16 @@ def prox_tv1d_multiscale(v, lam, tol=1e-6, coarse_n: int = 2048,
     n = v.shape[-1]
     if n <= coarse_n:
         return prox_tv1d_certified(v, lam, tol=tol)
-    if n % 2:
-        x, gap, iters = prox_tv1d_multiscale(
-            jnp.pad(v, (0, 1), mode="edge"), lam, tol=tol,
-            coarse_n=coarse_n, fine_iters=fine_iters)
-        return x[:n], gap, iters
-
-    vc = 0.5 * (v[0::2] + v[1::2])
+    # Coarse level: pair-decimate (edge-pad to even first — the padding
+    # only shapes the WARM START; the final certified solve below always
+    # runs on the original signal, so the certificate is for the true
+    # problem even when n is odd).
+    v_even = v if n % 2 == 0 else jnp.pad(v, (0, 1), mode="edge")
+    vc = 0.5 * (v_even[0::2] + v_even[1::2])
     xc, _, _ = prox_tv1d_multiscale(vc, 0.5 * jnp.asarray(lam, v.dtype),
                                     tol=tol, coarse_n=coarse_n,
                                     fine_iters=fine_iters)
-    x_hat = jnp.repeat(xc, 2)
+    x_hat = jnp.repeat(xc, 2)[:n]
     # dual candidate from stationarity v - x = D^T z:  z_k = -sum_{i<=k}(v-x)
     z = -jnp.cumsum(v - x_hat)[:-1]
     lamd = jnp.asarray(lam, v.dtype)
@@ -386,6 +434,31 @@ def prox_tv1d_multiscale(v, lam, tol=1e-6, coarse_n: int = 2048,
     u0 = z / jnp.minimum(rho0, 200.0)
     return prox_tv1d_certified(v, lam, tol=tol, max_iters=fine_iters,
                                check_every=check_every, w0=w0, u0=u0)
+
+
+def prox_tv1d_registry(v, lam):
+    """Registry entry point for ``ProxKind.TOTAL_VARIATION_1D``: PDAS
+    (finite-termination, 8-16 rounds at any n up to 1e6, exact to roundoff)
+    at the inner tolerance the active solver requested via
+    ``config.set_prox_inner_tol`` (None -> dtype sqrt-precision).  The gap
+    certificate is *surfaced*: if the kernel exits uncertified, a host-side
+    warning reports the residual gap and round count (gated by
+    ``config.tv_warn_enabled``) instead of silently returning an
+    inaccurate x."""
+    from ... import config
+    tol = config.prox_inner_tol()
+    x, gap, iters = prox_tv1d_pdas(v, lam, tol=tol)
+    if config.tv_warn_enabled():
+        gtol = tv_gap_tol(v, tol if tol is not None else pdas_default_tol(v.dtype))
+
+        def _warn(g, t, i):
+            jax.debug.print(
+                "epsilon_tpu: TV-1D prox uncertified: duality gap {g} "
+                "(tol {t}) after {i} PDAS rounds", g=g, t=t, i=i)
+
+        jax.lax.cond(gap > gtol, _warn, lambda g, t, i: None,
+                     gap, gtol, iters)
+    return x
 
 
 def eval_tv1d(x):

@@ -412,6 +412,11 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
     def solve(self) -> BlockVector:
         t0 = time.time()
+        # iteratively-certified inner kernels (TV-1D) certify one decade
+        # tighter than the outer rel_tol instead of to machine precision;
+        # baked at trace time, consistent because rel_tol keys the trace
+        config.set_prox_inner_tol(
+            config.prox_inner_tol_for(self.params.rel_tol))
         if (self.adaptive != self.params.adaptive_rho
                 or self.mesh is not self.params.mesh
                 or (not self.adaptive and self.params.rho != self._init_rho)):
@@ -658,6 +663,8 @@ class ProxADMMSolver(SolverBase):
 
     def solve(self) -> BlockVector:
         t0 = time.time()
+        config.set_prox_inner_tol(
+            config.prox_inner_tol_for(self.params.rel_tol))
         if self.params.rho != self._init_rho:
             # rho is baked into the scaled constraint system and the cached
             # KKT factorizations: rebuild (the cached-solver analogue of the
