@@ -593,6 +593,31 @@ class KronOp(LinOp):
         return f"Kron({self.A!r}, {self.B!r})"
 
 
+def _sym_packed_apply(op, X):
+    """Apply a cached symmetric explicit inverse as ``inv @ X`` via the
+    packed-lower-triangle Pallas kernel (``ops/pallas_kernels.py``): only
+    n^2/2 factor elements leave HBM (each off-diagonal tile is used twice
+    in VMEM), a ~2x win in the bandwidth-bound regime above
+    ``config.SYM_PACKED_MIN_DIM``.  Reference analogue: the cached LDL^T
+    solve of ``block_cholesky.cc:86-137``.  X: (n, R)."""
+    import jax
+    from . import pallas_kernels as pk
+
+    n = op.shape[0]
+
+    def build():
+        # tile=512 measured best on v5e (1MB tile fits VMEM double-buffered;
+        # 1024 OOMs scoped vmem): 1.52ms vs 1.94ms dense per 16k apply
+        tiles, ii, jj, n_pad = pk.pack_sym_tiles(op._host_inv(), tile=512)
+        return (_to_device(tiles), _to_device(ii), _to_device(jj), n_pad)
+
+    tiles, ii, jj, n_pad = _cached_device(op, "_jpacked", build)
+    Xp = jnp.zeros((n_pad,) + X.shape[1:], X.dtype).at[:n].set(X)
+    y = pk.sym_packed_matmul(tiles, ii, jj, Xp,
+                             interpret=jax.default_backend() == "cpu")
+    return y[:n]
+
+
 class CholFactorOp(LinOp):
     """Operator representing ``M^{-1}`` for SPD ``M``, via a cached Cholesky
     factor.  TPU-native equivalent of the reference's cached LDL^T solve impls
@@ -604,6 +629,7 @@ class CholFactorOp(LinOp):
         self.shape = M.shape
         self._jL = None
         self._jinv = None
+        self._jpacked = None
 
     def _host_L(self):
         if getattr(self, "_hL", None) is None or self._hL.dtype != _dtype():
@@ -625,11 +651,15 @@ class CholFactorOp(LinOp):
         return self._hinv
 
     def matvec(self, x):
+        if config.use_sym_packed(self.shape[0]):
+            return _sym_packed_apply(self, x[:, None])[:, 0]
         if config.use_explicit_inverse():
             return self._device_inv() @ x
         return jsla.cho_solve((self._device_L(), True), x)
 
     def matmat(self, X):
+        if config.use_sym_packed(self.shape[0]):
+            return _sym_packed_apply(self, X)
         if config.use_explicit_inverse():
             return self._device_inv() @ X
         return jsla.cho_solve((self._device_L(), True), X)
@@ -665,11 +695,14 @@ class LuFactorOp(LinOp):
         self.transposed = transposed
         self._jlu = None
         self._jinv = None
+        self._jpacked = None
+        self._sym = False
 
     @classmethod
     def symmetric(cls, M: np.ndarray) -> "LuFactorOp":
         op = cls(M)
         op.transposed = False
+        op._sym = True   # M = M^T, so M^{-1} is symmetric: packed apply OK
         return op
 
     def _host_lu(self):
@@ -692,12 +725,16 @@ class LuFactorOp(LinOp):
                               lambda: _to_device(self._host_inv()))
 
     def matvec(self, x):
+        if self._sym and config.use_sym_packed(self.shape[0]):
+            return _sym_packed_apply(self, x[:, None])[:, 0]
         if config.use_explicit_inverse():
             return self._device_inv() @ x
         lu, piv = self._device_lu()
         return jsla.lu_solve((lu, piv), x, trans=1 if self.transposed else 0)
 
     def matmat(self, X):
+        if self._sym and config.use_sym_packed(self.shape[0]):
+            return _sym_packed_apply(self, X)
         if config.use_explicit_inverse():
             return self._device_inv() @ X
         lu, piv = self._device_lu()
@@ -719,6 +756,9 @@ class LuFactorOp(LinOp):
         op.shape = self.shape
         op.transposed = not self.transposed
         op._jlu = None
+        op._jinv = None
+        op._jpacked = None
+        op._sym = self._sym
         return op
 
     def scale(self, alpha):

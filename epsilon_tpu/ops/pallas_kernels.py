@@ -144,7 +144,7 @@ def pack_sym_tiles(M, tile: int = 256, dtype=None):
     return tiles, ii, jj, n_pad
 
 
-def _sym_kernel(ii_ref, jj_ref, tile_ref, x_ref, y_ref):
+def _sym_kernel(ii_ref, jj_ref, tile_ref, x_ref, y_ref, *, acc_dtype):
     k = pl.program_id(0)
     T = tile_ref.shape[1]
 
@@ -159,7 +159,7 @@ def _sym_kernel(ii_ref, jj_ref, tile_ref, x_ref, y_ref):
     # row-block i of y (transposed layout): y_i += (M_ij @ x_j)^T = x_j @ t^T
     contrib_i = jax.lax.dot_general(
         xj, t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(y_ref.dtype)
+        preferred_element_type=acc_dtype).astype(y_ref.dtype)
     y_ref[:, pl.ds(i * T, T)] += contrib_i
 
     @pl.when(i != j)
@@ -167,7 +167,7 @@ def _sym_kernel(ii_ref, jj_ref, tile_ref, x_ref, y_ref):
         xi = x_ref[:, pl.ds(i * T, T)]
         contrib_j = jax.lax.dot_general(
             xi, t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(y_ref.dtype)
+            preferred_element_type=acc_dtype).astype(y_ref.dtype)
         y_ref[:, pl.ds(j * T, T)] += contrib_j
 
 
@@ -179,6 +179,9 @@ def sym_packed_matmul(tiles, ii, jj, x, interpret: bool = False):
     K, T, _ = tiles.shape
     n_pad, R = x.shape
     Rp = max(8, -(-R // 8) * 8)
+    # accumulate at (at least) f32; f64 inputs keep f64 accumulation so the
+    # kernel stays valid for f64 KKT inverses (round-2 advisor finding)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     xt = jnp.zeros((Rp, n_pad), x.dtype).at[:R, :].set(x.T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -190,7 +193,7 @@ def sym_packed_matmul(tiles, ii, jj, x, interpret: bool = False):
         out_specs=pl.BlockSpec((Rp, n_pad), lambda k, ii, jj: (0, 0)),
     )
     yt = pl.pallas_call(
-        _sym_kernel,
+        partial(_sym_kernel, acc_dtype=acc_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, n_pad), x.dtype),
         compiler_params=pltpu.CompilerParams(

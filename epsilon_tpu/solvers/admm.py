@@ -580,6 +580,11 @@ class ProxADMMSolver(SolverBase):
             u = u + ys[i]
             x = op.apply(u)
             y = self.A.apply(x)
+            # pad to the full constraint row space: terms touching different
+            # constraint rows must still carry a stable pytree through the
+            # jitted epoch loop
+            y = BlockVector({k: y.get(k, n)
+                             for k, n in self.row_dims.items()})
             u = u - y
             xs.append(x)
             new_ys.append(y)
@@ -754,5 +759,15 @@ class ProxADMMSolver(SolverBase):
 def create_solver(problem: ProxProblem, params: SolverParams):
     from .params import SolverKind
     if params.solver == SolverKind.PROX_ADMM:
+        if params.mesh is not None or params.adaptive_rho:
+            # The Gauss-Seidel sweep is inherently sequential — each term's
+            # prox consumes the previous term's update (prox_admm.cc:141-148)
+            # — so it cannot shard over terms, and its cached factorizations
+            # bake in rho.  Scaling story: rewrite to the mathematically-
+            # equivalent two-block consensus splitting of the SAME
+            # prox-affine problem (prox_admm_two_block.h:15-25), whose
+            # x-updates are embarrassingly parallel (term buckets over the
+            # mesh, psum-combined) and whose proxes are rho-parameterized.
+            return ProxADMMTwoBlockSolver(problem, params)
         return ProxADMMSolver(problem, params)
     return ProxADMMTwoBlockSolver(problem, params)

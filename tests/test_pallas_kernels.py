@@ -38,3 +38,54 @@ def test_fused_local_update_single_block(rng):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(x)[0], Atb[0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(xu), Atb[0], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sym_packed_matmul: packed symmetric lower-triangle apply
+# ---------------------------------------------------------------------------
+
+def test_sym_packed_matmul_matches_dense(rng):
+    from epsilon_tpu.ops.pallas_kernels import pack_sym_tiles, sym_packed_matmul
+    n, R = 700, 3
+    A = rng.randn(n, n)
+    M = A + A.T
+    for dtype in [np.float32, np.float64]:
+        tiles, ii, jj, n_pad = pack_sym_tiles(M.astype(dtype), tile=256)
+        X = rng.randn(n_pad, R).astype(dtype)
+        X[n:] = 0.0
+        y = np.asarray(sym_packed_matmul(
+            jnp.asarray(tiles), jnp.asarray(ii), jnp.asarray(jj),
+            jnp.asarray(X), interpret=True))
+        ref = M.astype(dtype) @ X[:n]
+        tol = 1e-3 if dtype == np.float32 else 1e-9
+        np.testing.assert_allclose(y[:n], ref, rtol=tol, atol=tol * np.abs(ref).max())
+        # padded tail rows must stay zero
+        np.testing.assert_allclose(y[n:], 0.0, atol=tol)
+
+
+def test_sym_packed_wired_into_factor_apply(rng, monkeypatch):
+    """LuFactorOp.symmetric routes matvec/matmat through the packed kernel
+    above the threshold (VERDICT r2 item 3), bit-matching the explicit
+    inverse."""
+    from epsilon_tpu import config
+    from epsilon_tpu.ops.linop import LuFactorOp
+
+    n = 300
+    A = rng.randn(n, n)
+    M = A @ A.T + n * np.eye(n)
+    op = LuFactorOp.symmetric(M)
+    x = rng.randn(n)
+    X = rng.randn(n, 5)
+    ref_v = np.linalg.solve(M, x)
+    ref_m = np.linalg.solve(M, X)
+
+    monkeypatch.setenv("EPSILON_TPU_SYM_PACKED", "1")
+    monkeypatch.setattr(config, "SYM_PACKED_MIN_DIM", 64)
+    assert config.use_sym_packed(n)
+    got_v = np.asarray(op.matvec(jnp.asarray(x)))
+    got_m = np.asarray(op.matmat(jnp.asarray(X)))
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(got_m, ref_m, rtol=1e-8, atol=1e-10)
+    # transpose of a symmetric factor shares the packed path
+    got_t = np.asarray(op.T.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got_t, ref_v, rtol=1e-8, atol=1e-10)

@@ -168,3 +168,31 @@ def test_bucket_balancing(rng):
     sizes = [len(b) for b in solver.buckets]
     assert sum(sizes) == len(prob.terms)
     assert all(s >= 1 for s in sizes)
+
+
+def test_nblock_mesh_rewrites_to_sharded_two_block(rng):
+    """The N-block Gauss-Seidel sweep cannot shard over terms (each prox
+    consumes the previous term's update, prox_admm.cc:141-148), so
+    solver="prox_admm" + mesh must rewrite to the equivalent two-block
+    consensus splitting with term sharding — and land on the same solution
+    the sequential N-block solver finds (VERDICT r2 item 6)."""
+    from epsilon_tpu.solvers import create_solver
+    from epsilon_tpu.solvers.admm import ProxADMMSolver
+
+    problem = make_multi_term_problem(rng)
+    common = dict(rel_tol=1e-8, abs_tol=1e-10, max_iterations=6000,
+                  epoch_iterations=25)
+
+    seq = create_solver(problem, SolverParams(solver="prox_admm", **common))
+    assert isinstance(seq, ProxADMMSolver)
+    x_seq = seq.solve()
+
+    sharded = create_solver(problem, SolverParams(
+        solver="prox_admm", mesh=term_mesh(4), **common))
+    assert isinstance(sharded, ProxADMMTwoBlockSolver)
+    assert sharded.buckets is not None
+    x_sh = sharded.solve()
+
+    for k in x_seq.data:
+        np.testing.assert_allclose(np.asarray(x_sh[k]), np.asarray(x_seq[k]),
+                                   atol=1e-5)
