@@ -132,6 +132,74 @@ def constant_value(e: Expression) -> np.ndarray:
         for a in args[1:]:
             out = np.minimum(out, a)
         return out
+    # nonlinear scalar-valued atoms at constants (constant_atoms_test.py
+    # parity: the compiler must evaluate EVERY atom at constants, not just
+    # the affine/elementwise ones)
+    if t == ExprType.ENTR:
+        x = args[0]
+        return np.where(x > 0, -x * np.log(np.where(x > 0, x, 1.0)), 0.0)
+    if t == ExprType.LOGISTIC:
+        return np.logaddexp(0.0, args[0])
+    if t == ExprType.HUBER:
+        M = float(e.attr["M"])
+        a = np.abs(args[0])
+        return np.where(a <= M, a * a, 2 * M * a - M * M)
+    if t == ExprType.KL_DIV:
+        x, y = args
+        return np.full((1, 1), float(np.sum(x * np.log(x / y) - x + y)))
+    if t == ExprType.NORM_P:
+        p = e.attr["p"]
+        axis = e.attr.get("axis")
+        x = args[0]
+        if axis is None:
+            return np.full((1, 1), np.linalg.norm(x.ravel(), ord=p))
+        out = np.linalg.norm(x, ord=p, axis=axis)
+        return out.reshape(e.size)
+    if t == ExprType.QUAD_OVER_LIN:
+        x, y = args
+        return np.full((1, 1), float(np.sum(x * x) / float(y.ravel()[0])))
+    if t == ExprType.LOG_SUM_EXP:
+        axis = e.attr.get("axis")
+        x = args[0]
+        if axis is None:
+            m = float(np.max(x))
+            return np.full((1, 1), m + np.log(np.sum(np.exp(x - m))))
+        m = np.max(x, axis=axis, keepdims=True)
+        out = (np.squeeze(m, axis=axis)
+               + np.log(np.sum(np.exp(x - m), axis=axis)))
+        return out.reshape(e.size)
+    if t == ExprType.MAX_ENTRIES:
+        axis = e.attr.get("axis")
+        if axis is None:
+            return np.full((1, 1), np.max(args[0]))
+        return np.max(args[0], axis=axis).reshape(e.size)
+    if t == ExprType.MIN_ENTRIES:
+        axis = e.attr.get("axis")
+        if axis is None:
+            return np.full((1, 1), np.min(args[0]))
+        return np.min(args[0], axis=axis).reshape(e.size)
+    if t == ExprType.SUM_LARGEST:
+        x = np.sort(args[0].ravel())[::-1]
+        return np.full((1, 1), float(np.sum(x[:int(e.attr["k"])])))
+    if t == ExprType.GEO_MEAN:
+        x = args[0].ravel()
+        return np.full((1, 1), float(np.exp(np.mean(np.log(x)))))
+    if t == ExprType.LOG_DET:
+        return np.full((1, 1), float(np.linalg.slogdet(args[0])[1]))
+    if t == ExprType.NORM_NUC:
+        s = np.linalg.svd(args[0], compute_uv=False)
+        return np.full((1, 1), float(np.sum(s)))
+    if t == ExprType.LAMBDA_MAX:
+        return np.full((1, 1), float(np.linalg.eigvalsh(args[0])[-1]))
+    if t == ExprType.LAMBDA_MIN:
+        return np.full((1, 1), float(np.linalg.eigvalsh(args[0])[0]))
+    if t == ExprType.SIGMA_MAX:
+        s = np.linalg.svd(args[0], compute_uv=False)
+        return np.full((1, 1), float(s[0]))
+    if t == ExprType.MATRIX_FRAC:
+        x, P = args
+        x = x.ravel()
+        return np.full((1, 1), float(x @ np.linalg.solve(P, x)))
     raise ValueError(f"cannot evaluate constant expression {t}")
 
 

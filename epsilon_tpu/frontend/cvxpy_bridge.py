@@ -174,9 +174,14 @@ def convert_problem(problem):
 def solve(cvxpy_problem, **kwargs) -> float:
     """Solve a cvxpy Problem with epsilon_tpu; writes values back into the
     cvxpy variables (``cvxpy_solver.py:64-104`` behavior)."""
+    import cvxpy
     native, var_map = convert_problem(cvxpy_problem)
     prob = api.Problem(api.Minimize(native.objective), native.constraints)
     obj = prob.solve(**kwargs)
+    if isinstance(cvxpy_problem.objective, cvxpy.Maximize):
+        # convert_problem minimizes the negation; report the max value
+        obj = -obj
+    cvxpy_problem.value = obj
 
     # write back values (the natives are api.Variable, so solve() filled
     # their .value)

@@ -21,12 +21,12 @@ def term_objective(term: ProxTerm, x: BlockVector):
     u = term.H.A.apply(x) + term.H.b.to_device()
     kind = spec.kind
     if kind == ProxKind.CONSTANT:
-        # constant objective addend = the offset (add_constant_prox terms
-        # carry no offset and contribute 0)
+        # constant objective addend = alpha * offset (add_constant_prox
+        # terms carry no offset and contribute 0)
         total = jnp.asarray(0.0)
         for key, vec in term.H.b.items():
             total = total + jnp.sum(jnp.asarray(vec))
-        return total
+        return spec.alpha * total
     if kind in (ProxKind.ZERO, ProxKind.NON_NEGATIVE,
                 ProxKind.SEMIDEFINITE, ProxKind.SECOND_ORDER_CONE):
         return jnp.asarray(0.0)
