@@ -178,3 +178,87 @@ def test_fuzz_epigraph_extremes(kind, params, f_np, sampler, cap64, cap32,
             viol = float(np.dot(v64 - x, z - x) + (s - t) * (tz - t))
             worst = max(worst, viol)
         assert worst <= tol, f"{kind} epi VI violated by {worst:.3e}"
+
+
+# ---------------------------------------------------------------------------
+# matrix-family epigraph extremes (VERDICT r2 item 9): NEG_LOG_DET /
+# NORM_NUCLEAR / LAMBDA_MAX / SIGMA_MAX projections fuzzed over magnitudes,
+# previously covered only by small fixed-trial oracle tests
+# ---------------------------------------------------------------------------
+
+def _sym_pd(rng, n, s):
+    B = rng.randn(n, n)
+    return s * (B @ B.T / n + 0.5 * np.eye(n))
+
+
+def _sym(rng, n, s):
+    B = rng.randn(n, n)
+    return s * (B + B.T) / 2.0
+
+
+def _gen(rng, n, s):
+    return s * rng.randn(n, n)
+
+
+def _pd_project(Z, floor):
+    Zs = (Z + Z.T) / 2.0
+    w, Q = np.linalg.eigh(Zs)
+    return (Q * np.maximum(w, floor)) @ Q.T
+
+
+MATRIX_EPI_SPECS = [
+    (ProxKind.NEG_LOG_DET,
+     lambda X: -np.linalg.slogdet(X)[1], _sym_pd, True),
+    (ProxKind.LAMBDA_MAX,
+     lambda X: float(np.linalg.eigvalsh((X + X.T) / 2)[-1]), _sym, False),
+    (ProxKind.NORM_NUCLEAR,
+     lambda X: float(np.sum(np.linalg.svd(X, compute_uv=False))), _gen, False),
+    (ProxKind.SIGMA_MAX,
+     lambda X: float(np.linalg.svd(X, compute_uv=False)[0]), _gen, False),
+]
+
+
+@pytest.mark.parametrize("kind,f_np,sampler,needs_pd", MATRIX_EPI_SPECS,
+                         ids=[s[0].name for s in MATRIX_EPI_SPECS])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32], ids=["f64", "f32"])
+def test_fuzz_epigraph_matrix(kind, f_np, sampler, needs_pd, dtype):
+    entry = KERNELS[kind]
+    rng = np.random.RandomState(
+        zlib.crc32(("epimat" + kind.name).encode()) % 2**31)
+    cap = 1e3 if dtype == np.float64 else 1e2
+    for trial in range(8):
+        scale = 10.0 ** rng.uniform(-3, np.log10(cap))
+        n = int(rng.choice([2, 5, 12]))
+        V = sampler(rng, n, scale).astype(dtype)
+        V64 = V.astype(np.float64)
+        fv = float(f_np(V64)) if not needs_pd else float(f_np(
+            _pd_project(V64, 1e-6 * scale)))
+        s_off = rng.choice([-1.0, -0.1, 0.1, 1.0]) * max(abs(fv), scale, 1.0)
+        s = dtype(fv + s_off)
+        X, t = entry.epi(jnp.asarray(V), jnp.asarray(s))
+        X = np.asarray(X, np.float64)
+        t = float(t)
+        assert np.all(np.isfinite(X)) and np.isfinite(t), (
+            f"{kind} epi non-finite at scale={scale}")
+        mag = max(1.0, float(np.abs(V64).max()) ** 2, abs(fv), abs(t))
+        eps = 2e-3 if dtype == np.float32 else 1e-6
+        tol = eps * mag
+        fx = float(f_np(X))
+        assert fx <= t + tol, (
+            f"{kind} epi infeasible: f(x)={fx:.6e} > t={t:.6e} (tol {tol:.1e})")
+        # projection VI against feasible (Z, tz)
+        worst = -np.inf
+        for _ in range(40):
+            sc = 10.0 ** rng.uniform(-2, 0) * max(scale, 1e-3)
+            Z = X + sc * rng.randn(n, n)
+            if needs_pd:
+                Z = _pd_project(Z, 1e-8 * max(scale, 1.0))
+            elif kind == ProxKind.LAMBDA_MAX:
+                Z = (Z + Z.T) / 2.0
+            fz = float(f_np(Z))
+            if not np.isfinite(fz):
+                continue
+            tz = fz + abs(rng.randn()) * max(abs(fz), 1.0) * 0.1
+            viol = float(np.sum((V64 - X) * (Z - X)) + (s - t) * (tz - t))
+            worst = max(worst, viol)
+        assert worst <= tol, f"{kind} epi VI violated by {worst:.3e}"
