@@ -192,9 +192,18 @@ def row_mnist_rff():
     t0 = time.time()
     prob = mnist.create(m=60000, n=4000, k=10, lam=0.1)
     t_build = time.time() - t0
+    # host drive: per-epoch programs compile in pieces small enough for the
+    # remote-compile tunnel (the single whole-solve program's compile gets
+    # its transport dropped); retry once on a transient drop
     t0 = time.time()
-    obj = prob.solve(rel_tol=1e-3, abs_tol=1e-6, max_iterations=1000,
-                     epoch_iterations=10)
+    for attempt in range(2):
+        try:
+            obj = prob.solve(rel_tol=1e-3, abs_tol=1e-6, max_iterations=1000,
+                             epoch_iterations=10, drive="host")
+            break
+        except Exception:
+            if attempt == 1:
+                raise
     t_solve = time.time() - t0
     st = prob.solver_status
     return {

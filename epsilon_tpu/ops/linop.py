@@ -421,7 +421,18 @@ class DenseOp(LinOp):
 
     @property
     def T(self):
-        return DenseOp(self.A.T)
+        # Cache the transpose (and link back) so repeated ``.T`` at TRACE
+        # time always yields the SAME underlying numpy buffer: constant
+        # lifting keys arrays by id(), and a fresh ascontiguousarray copy
+        # per call would miss the collect pass and embed the whole matrix
+        # as a jit constant (at MNIST-RFF scale, a ~1 GB HLO that breaks
+        # the remote-compile transport).
+        t = getattr(self, "_t_cache", None)
+        if t is None:
+            t = DenseOp(self.A.T)
+            t._t_cache = self
+            self._t_cache = t
+        return t
 
     def scale(self, alpha):
         return DenseOp(self.A * alpha)

@@ -284,8 +284,15 @@ def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,
                              mesh=mesh, adaptive_rho=True, **kwargs)
     if config.use_explicit_inverse():
         # factor-once as explicit inverses: the per-iteration solve becomes
-        # a batched MXU matmul (TPUs have no fast triangular solve)
-        Finv = jnp.linalg.inv(AtA + rho * eye)
+        # a batched MXU matmul (TPUs have no fast triangular solve).  The
+        # inverse batch is computed on the HOST in f64: on-device
+        # jnp.linalg.inv lowers to a vmapped LU whose triangular-solve
+        # temps are O(S n^2 log n) HBM — it OOM'd a 16 GB chip at
+        # S=40, n=5000 where the inverses themselves are only 4 GB
+        dtype = AtA.dtype
+        AtA_h = np.asarray(AtA, dtype=np.float64)
+        Finv = jnp.asarray(
+            np.linalg.inv(AtA_h + rho * np.eye(AtA.shape[-1])).astype(dtype))
         data = {"Finv": Finv, "Atb": Atb}
 
         def local_prox(v, d):
