@@ -842,25 +842,52 @@ def multiply(lhs: LinOp, rhs: LinOp) -> LinOp:
 # (axon tunnel) is the bottleneck, not the matmul.
 _DEVICE_GEMM_MIN_FLOPS = float(os.environ.get(
     "EPSILON_TPU_DEVICE_GEMM_MIN_FLOPS", "5e10"))
-_DEVICE_OPERAND_CACHE: dict = {}
+# Byte-budgeted LRU (NOT a wholesale clear): re-uploading a 1 GB operand
+# through the ~30 MB/s axon tunnel costs ~30 s, and the Schur elimination
+# touches the same big matrix across dozens of products with many small
+# operands in between — a count-capped cache thrashed exactly that matrix
+# (measured: MNIST-RFF solver build 350-1200 s, dominated by re-uploads).
+_DEVICE_OPERAND_CACHE: "dict" = {}
+_DEVICE_OPERAND_LRU: list = []
+_DEVICE_OPERAND_BUDGET = float(os.environ.get(
+    "EPSILON_TPU_DEVICE_OPERAND_BUDGET", str(4 * 1024**3)))
+
+
+def _operand_cache_put(key, val, nbytes):
+    total = sum(b for _, b in _DEVICE_OPERAND_LRU)
+    while _DEVICE_OPERAND_LRU and total + nbytes > _DEVICE_OPERAND_BUDGET:
+        old_key, old_b = _DEVICE_OPERAND_LRU.pop(0)
+        _DEVICE_OPERAND_CACHE.pop(old_key, None)
+        total -= old_b
+    _DEVICE_OPERAND_CACHE[key] = val
+    _DEVICE_OPERAND_LRU.append((key, nbytes))
 
 
 def _device_operand(A: np.ndarray):
+    # entries store (device_array, host_ref): pinning the host array keeps
+    # its id() from being reused by a different matrix while cached
     key = (id(A), A.shape)
-    hit = _DEVICE_OPERAND_CACHE.get(key)
-    if hit is None:
+    ent = _DEVICE_OPERAND_CACHE.get(key)
+    if ent is None:
         # transposed views share the base buffer; upload the base once
         base = A.base if (A.base is not None and A.base.ndim == 2) else A
         bkey = (id(base), base.shape)
-        dbase = _DEVICE_OPERAND_CACHE.get(bkey)
-        if dbase is None:
+        bent = _DEVICE_OPERAND_CACHE.get(bkey)
+        if bent is None:
             dbase = jnp.asarray(np.ascontiguousarray(base), dtype=jnp.float32)
-            if len(_DEVICE_OPERAND_CACHE) > 16:
-                _DEVICE_OPERAND_CACHE.clear()
-            _DEVICE_OPERAND_CACHE[bkey] = dbase
+            _operand_cache_put(bkey, (dbase, base), base.nbytes)
+        else:
+            dbase = bent[0]
         hit = dbase if base is A else dbase.T
-        _DEVICE_OPERAND_CACHE[key] = hit
-    return hit
+        if bkey != key:
+            _operand_cache_put(key, (hit, A), 0)
+        return hit
+    # refresh LRU position for real (non-view) entries
+    for i, (k, nb) in enumerate(_DEVICE_OPERAND_LRU):
+        if k == key and nb:
+            _DEVICE_OPERAND_LRU.append(_DEVICE_OPERAND_LRU.pop(i))
+            break
+    return ent[0]
 
 
 def _host_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
