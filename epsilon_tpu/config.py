@@ -67,10 +67,23 @@ def set_prox_inner_tol(tol):
 def prox_inner_tol_for(rel_tol: float):
     """Inner certificate tolerance tied to an outer solver tolerance:
     one decade tighter than the outer rel_tol, floored at the dtype's
-    certifiable sqrt-precision (handled by the kernel when None)."""
+    *certifiable* sqrt-precision (1e-7 f64 / 3e-4 f32).  Flooring at a
+    fixed 1e-7 made the f32 PDAS gap target unreachable for any
+    rel_tol <= 3e-3, firing the uncertified warning spuriously (round-3
+    advisor finding)."""
     if rel_tol is None or rel_tol <= 0:
         return None
-    return max(0.1 * rel_tol, 1e-7)
+    from .ops.prox.tv1d import default_tv_tol  # local: avoids import cycle
+    return max(0.1 * rel_tol, default_tv_tol(default_dtype()))
+
+
+def strict_lifting() -> bool:
+    """When on, apply-mode ``linop._to_device`` of a host array that the
+    collect pass never saw is a hard error instead of silently embedding the
+    data as a jit constant (which would also serve stale data after
+    ``update_problem``).  Enabled in the test suite; off in production where
+    a one-off small constant embed is tolerable."""
+    return os.environ.get("EPSILON_TPU_STRICT_LIFTING", "0") == "1"
 
 
 def tv_warn_enabled() -> bool:

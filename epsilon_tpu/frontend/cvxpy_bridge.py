@@ -181,7 +181,14 @@ def solve(cvxpy_problem, **kwargs) -> float:
     if isinstance(cvxpy_problem.objective, cvxpy.Maximize):
         # convert_problem minimizes the negation; report the max value
         obj = -obj
-    cvxpy_problem.value = obj
+    # Real cvxpy's Problem.value is a read-only property; write the private
+    # backing attribute so .value reads back the solved objective (the
+    # reference returns the objective rather than writing it,
+    # cvxpy_solver.py:96-104).
+    try:
+        cvxpy_problem.value = obj
+    except AttributeError:
+        cvxpy_problem._value = obj
 
     # write back values (the natives are api.Variable, so solve() filled
     # their .value)

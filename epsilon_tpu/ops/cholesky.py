@@ -15,7 +15,9 @@ ADMM consensus projection (``zero.cc:14-30``, ``prox_admm_two_block.cc:52-77``).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 from .block import BlockMatrix, BlockVector
 from .linop import LinOp
@@ -42,8 +44,22 @@ class BlockCholesky:
             self._dims[k] = _dim_of(blocks, k)
 
         remaining = set(keys)
+        # Whole-ordering pass in native code when available: the Python
+        # per-step heuristic is O(pivots * col^2) interpreter loops, which
+        # dominates solver build on many-block systems (>=50 blocks).
+        order = self._native_order(blocks, keys)
         while remaining:
-            pivot = self._min_fill_pivot(blocks, remaining)
+            pivot = None
+            if order is not None:
+                while order and order[0] not in remaining:
+                    order.pop(0)
+                # the native order predicts fill structurally; if its next
+                # pivot has no concrete diagonal block yet, defer to the
+                # per-step heuristic for this step
+                if order and (order[0], order[0]) in blocks:
+                    pivot = order.pop(0)
+            if pivot is None:
+                pivot = self._min_fill_pivot(blocks, remaining)
             D = blocks.get((pivot, pivot))
             if D is None:
                 raise ValueError(
@@ -78,6 +94,26 @@ class BlockCholesky:
 
         self._factorized = True
         return self
+
+    def _native_order(self, blocks, keys) -> Optional[List[str]]:
+        """Compute the full elimination order with the C++ min-fill kernel
+        (``native/ordering.cc`` ≙ ``block_cholesky.cc:11-64``); None when the
+        native library is absent or the system is trivially small."""
+        if len(keys) < 3:
+            return None
+        from .. import native
+        if not native.available():
+            return None
+        idx = {k: i for i, k in enumerate(keys)}
+        n = len(keys)
+        nnz = np.zeros((n, n), dtype=np.int64)
+        for (r, c), op in blocks.items():
+            nnz[idx[r], idx[c]] = max(1, op.nnz())
+        dims = np.asarray([self._dims[k] for k in keys], dtype=np.int64)
+        order = native.min_fill_order(nnz, dims)
+        if order is None:
+            return None
+        return [keys[i] for i in order]
 
     def _min_fill_pivot(self, blocks, remaining) -> str:
         """Greedy min-fill: pick the pivot whose elimination creates the

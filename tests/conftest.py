@@ -9,6 +9,10 @@ throughout).  Must run before anything imports jax.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Apply-mode constant-lifting misses are hard errors under test: an operator
+# creating fresh host buffers at trace time would otherwise silently embed
+# problem data as jit constants (and serve stale data after update_problem).
+os.environ.setdefault("EPSILON_TPU_STRICT_LIFTING", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -586,7 +586,13 @@ class Problem:
     def __init__(self, objective, constraints=None):
         self.objective = objective
         self.constraints = list(constraints or [])
-        self.value = None
+        self._value = None
+
+    @property
+    def value(self):
+        # read-only, like real cvxpy's Problem.value (a property with no
+        # setter backed by Problem._value) — the bridge must not assign it
+        return self._value
 
     def variables(self):
         out = []

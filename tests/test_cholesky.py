@@ -92,6 +92,45 @@ def test_missing_rhs_blocks_treated_as_zero(rng):
     np.testing.assert_allclose(np.asarray(x["b"]), full["b"], atol=1e-10)
 
 
+def test_native_ordering_many_blocks(rng):
+    """>=50-block arrow system goes through native.min_fill_order and must
+    match the dense ground truth; the arrow structure also checks the order
+    is sensible (spoke pivots before the hub avoids O(k^2) fill)."""
+    from epsilon_tpu import native
+
+    k, n = 55, 3
+    blocks = {}
+    hub = rng.randn(n, n)
+    blocks[("hub", "hub")] = linop.dense(hub @ hub.T + (10.0 * k) * np.eye(n))
+    for i in range(k):
+        key = f"s{i:02d}"
+        S = rng.randn(n, n)
+        blocks[(key, key)] = linop.dense(S @ S.T + 10.0 * np.eye(n))
+        C = rng.randn(n, n)
+        blocks[(key, "hub")] = linop.dense(C)
+        blocks[("hub", key)] = linop.dense(C.T)
+    M = BlockMatrix(blocks)
+    chol = BlockCholesky(M)
+    keys = sorted({r for r, _ in M.blocks} | {c for _, c in M.blocks})
+    for kk in keys:
+        chol._dims[kk] = n
+    order = chol._native_order(dict(M.blocks), keys)
+    if native.available():
+        assert order is not None and len(order) == k + 1
+        # hub elimination first would fill all k^2 spoke pairs; min-fill
+        # must defer it past (nearly) all spokes
+        assert order.index("hub") > k // 2
+    chol._dims = {}
+    chol.factor()
+    b = BlockVector({key: jnp.asarray(rng.randn(n))
+                     for key in ["hub"] + [f"s{i:02d}" for i in range(k)]})
+    x = chol.solve(b)
+    expected = _solve_dense(M, b)
+    for key in expected:
+        np.testing.assert_allclose(np.asarray(x[key]), expected[key],
+                                   rtol=1e-7, atol=1e-7)
+
+
 def test_solve_is_jittable(rng):
     n = 4
     A = rng.randn(n, n)
