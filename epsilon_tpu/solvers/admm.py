@@ -47,6 +47,14 @@ def _zeros(dims: Dict[str, int]) -> BlockVector:
     return BlockVector({k: jnp.zeros(n, dtype=dtype) for k, n in dims.items()})
 
 
+def _series_from_buffer(series_buf, start_epoch: int, end_epoch: int):
+    """Residuals list from the device drive's fixed-length per-epoch buffer
+    (rows outside [start_epoch, end_epoch) were never written)."""
+    rows = np.asarray(series_buf)
+    return [Residuals(*[float(v) for v in rows[e]])
+            for e in range(int(start_epoch), min(int(end_epoch), rows.shape[0]))]
+
+
 def _rekey_constraint(i: int, affop: AffineOperator):
     """Re-key a constraint's affine operator rows onto constraint_key(i)
     (suffixing when the constraint has several row blocks), mirroring
@@ -366,16 +374,22 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
     def _epoch(self, state):
         """epoch_iterations sweeps + residuals, as a device-side fori_loop
-        (keeps the HLO small: one iteration body, not an unrolled epoch)."""
-        z_prev = state[0]
+        (keeps the HLO small: one iteration body, not an unrolled epoch).
+        The dual residual uses the FINAL sweep's ``z - z_prev`` (one extra z
+        carried through the loop), matching the reference's per-iteration
+        ``z_prev_ = z_`` snapshot (``prox_admm_two_block.cc:101,135-156``) —
+        an epoch-start delta inflates s_norm and can delay declared
+        convergence by whole epochs at tight tolerances."""
 
         def body(_, carry):
-            st, _x = carry
+            st, _x, _zp = carry
+            zp = st[0]
             st, x = self._iter_body(st)
-            return st, x
+            return st, x, zp
 
-        state, x = jax.lax.fori_loop(
-            0, self.params.epoch_iterations, body, (state, self._x_zeros()))
+        state, x, z_prev = jax.lax.fori_loop(
+            0, self.params.epoch_iterations, body,
+            (state, self._x_zeros(), state[0]))
         res = self._residuals(state, x, z_prev)
         conv = (res[0] <= res[2]) & (res[1] <= res[3])
         if self.adaptive:
@@ -442,13 +456,18 @@ class ProxADMMTwoBlockSolver(SolverBase):
                 def run(state, consts, start_it):
                     with lift_apply(lifter, consts):
                         def cond(carry):
-                            state, x, it, res, conv = carry
+                            state, x, it, res, conv, buf = carry
                             return (~conv) & (it < max_epochs * epoch_iters)
 
                         def body(carry):
-                            state, _, it, _, _ = carry
+                            state, _, it, _, _, buf = carry
                             state, x, res, conv = self._epoch(state)
-                            return state, x, it + epoch_iters, res, conv
+                            # per-epoch residual series in a fixed-length
+                            # device buffer (log_iterations observability for
+                            # device drive, ≙ prox_admm.cc:219-230)
+                            buf = jax.lax.dynamic_update_index_in_dim(
+                                buf, res, it // epoch_iters, 0)
+                            return state, x, it + epoch_iters, res, conv, buf
 
                         # initial conv=False guarantees >= 1 epoch without
                         # duplicating the epoch body in the HLO; starting the
@@ -457,17 +476,20 @@ class ProxADMMTwoBlockSolver(SolverBase):
                         dtype = config.default_dtype()
                         carry = (state, self._x_zeros(), start_it,
                                  jnp.zeros(4, dtype=dtype),
-                                 jnp.asarray(False))
+                                 jnp.asarray(False),
+                                 jnp.zeros((max_epochs, 4), dtype=dtype))
                         return jax.lax.while_loop(cond, body, carry)
 
                 run = jax.jit(self._shard_wrap(run))
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
             state, start_iters = self._resume_state(state)
-            state, x, iters, res, conv = run(state, const_args,
-                                             jnp.asarray(start_iters))
+            state, x, iters, res, conv, series_buf = run(
+                state, const_args, jnp.asarray(start_iters))
             x = jax.block_until_ready(x)
             iters = int(iters)
+            self.status.series = _series_from_buffer(
+                series_buf, start_iters // epoch_iters, iters // epoch_iters)
             if self._checkpointer is not None:
                 self._checkpointer.save(iters, state)
         else:
@@ -633,15 +655,17 @@ class ProxADMMSolver(SolverBase):
         return tuple(out)
 
     def _epoch(self, state):
-        ys_prev = state[1]
-
+        # dual residual from the FINAL sweep's y deltas (reference snapshots
+        # y_prev_ per iteration, ``prox_admm.cc:135,196-201``)
         def body(_, carry):
-            st, _xs = carry
+            st, _xs, _yp = carry
+            yp = st[1]
             st, xs = self._sweep(st)
-            return st, xs
+            return st, xs, yp
 
-        state, xs = jax.lax.fori_loop(
-            0, self.params.epoch_iterations, body, (state, self._xs_zeros()))
+        state, xs, ys_prev = jax.lax.fori_loop(
+            0, self.params.epoch_iterations, body,
+            (state, self._xs_zeros(), state[1]))
         res = self._residuals(state, xs, ys_prev)
         conv = (res[0] <= res[2]) & (res[1] <= res[3])
         return state, xs, res, conv
@@ -695,27 +719,33 @@ class ProxADMMSolver(SolverBase):
                 def run(state, consts, start_it):
                     with lift_apply(lifter, consts):
                         def cond(carry):
-                            state, xs, it, res, conv = carry
+                            state, xs, it, res, conv, buf = carry
                             return (~conv) & (it < max_epochs * epoch_iters)
 
                         def body(carry):
-                            state, _, it, _, _ = carry
+                            state, _, it, _, _, buf = carry
                             state, xs, res, conv = self._epoch(state)
-                            return state, xs, it + epoch_iters, res, conv
+                            buf = jax.lax.dynamic_update_index_in_dim(
+                                buf, res, it // epoch_iters, 0)
+                            return (state, xs, it + epoch_iters, res, conv,
+                                    buf)
 
                         dtype = config.default_dtype()
                         carry = (state, self._xs_zeros(), start_it,
                                  jnp.zeros(4, dtype=dtype),
-                                 jnp.asarray(False))
+                                 jnp.asarray(False),
+                                 jnp.zeros((max_epochs, 4), dtype=dtype))
                         return jax.lax.while_loop(cond, body, carry)
 
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
             state, start_iters = self._resume_state(state)
-            state, xs, iters, res, conv = run(state, const_args,
-                                              jnp.asarray(start_iters))
+            state, xs, iters, res, conv, series_buf = run(
+                state, const_args, jnp.asarray(start_iters))
             xs = jax.block_until_ready(xs)
             iters = int(iters)
+            self.status.series = _series_from_buffer(
+                series_buf, start_iters // epoch_iters, iters // epoch_iters)
             if self._checkpointer is not None:
                 self._checkpointer.save(iters, state)
         else:

@@ -87,6 +87,57 @@ def test_lasso(solver_cls, drive):
     np.testing.assert_allclose(obj_eval, obj_ours, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("solver_cls", [ProxADMMTwoBlockSolver, ProxADMMSolver])
+def test_device_drive_populates_series(solver_cls):
+    """Device drive must report the per-epoch residual series (reference's
+    log_iterations observability, ``prox_admm.cc:219-230``), identical to
+    host drive's."""
+    rng = np.random.RandomState(3)
+    m, n = 30, 15
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+    prob = make_lasso_problem(A, b, 0.5)
+
+    results = {}
+    for drive in ("device", "host"):
+        solver = solver_cls(make_lasso_problem(A, b, 0.5),
+                            SolverParams(rel_tol=1e-5, abs_tol=1e-7,
+                                         max_iterations=5000, drive=drive))
+        solver.solve()
+        assert len(solver.status.series) == (
+            solver.status.num_iterations // solver.params.epoch_iterations)
+        results[drive] = solver.status.series
+    assert len(results["device"]) == len(results["host"])
+    for rd, rh in zip(results["device"], results["host"]):
+        np.testing.assert_allclose(
+            [rd.r_norm, rd.s_norm, rd.epsilon_primal, rd.epsilon_dual],
+            [rh.r_norm, rh.s_norm, rh.epsilon_primal, rh.epsilon_dual],
+            rtol=1e-8, atol=1e-12)
+
+
+def test_epoch_tail_dual_residual():
+    """s_norm must be the final sweep's rho*||z - z_prev|| — with
+    epoch_iterations=E the reported s_norm at convergence must match a run
+    with epoch_iterations=1 at the same iteration count scale (the old
+    epoch-start delta was ~E times larger near convergence)."""
+    rng = np.random.RandomState(4)
+    m, n = 30, 15
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+
+    it_counts = {}
+    for E in (1, 10):
+        solver = ProxADMMTwoBlockSolver(
+            make_lasso_problem(A, b, 0.5),
+            SolverParams(rel_tol=1e-6, abs_tol=1e-8, max_iterations=5000,
+                         epoch_iterations=E, drive="host"))
+        solver.solve()
+        assert solver.status.state == SolverState.OPTIMAL
+        it_counts[E] = solver.status.num_iterations
+    # epoch-granular checking can only overshoot by < one epoch
+    assert it_counts[10] <= it_counts[1] + 10
+
+
 def test_two_block_warm_start():
     rng = np.random.RandomState(1)
     m, n = 20, 10
