@@ -362,19 +362,31 @@ def transform_kl_div(e):
 
 
 def transform_log_sum_exp(e):
-    # log sum exp <= t <=> sum exp(x - t) <= 1
+    # log sum exp <= t <=> sum exp(x - t) <= 1, elementwise exp-cone pairs;
+    # axis mode broadcasts t across the reduced axis and sums per slice
+    # (lse(X, axis=1)_i <= t_i <=> sum_j exp(x_ij - t_i) <= 1)
     x = e.args[0]
     t = _epi_var(e, "log_sum_exp")
     m, n = x.size
-    t_full = ex.multiply(ex.scalar_constant(1.0), t)
-    shifted = ex.add(x, ex.negate(ex.multiply(ex.ones(m, n), t))) \
-        if e.dim == 1 else None
-    if shifted is None:
-        raise TransformError("axis log_sum_exp conic fallback unsupported")
+    axis = e.attr.get("axis")
     s = _epi_var(x, "lse_s")
+    if axis is None:
+        shifted = ex.add(x, ex.negate(ex.multiply(ex.ones(m, n), t)))
+        sum_s = ex.sum_entries(s)
+        one = ex.scalar_constant(1.0)
+    elif axis == 1:
+        # t: (m, 1); broadcast along columns via t @ 1^T (1s row vector)
+        shifted = ex.add(x, ex.negate(ex.multiply(t, ex.ones(1, n))))
+        sum_s = ex.sum_entries(s, axis=1)
+        one = ex.constant(1.0, (m, 1))
+    else:
+        # t: (1, n); broadcast along rows via 1 @ t
+        shifted = ex.add(x, ex.negate(ex.multiply(ex.ones(m, 1), t)))
+        sum_s = ex.sum_entries(s, axis=0)
+        one = ex.constant(1.0, (1, n))
     return t, [
         ex.leq_constraint(ex.exp(shifted), s),
-        ex.leq_constraint(ex.sum_entries(s), ex.scalar_constant(1.0)),
+        ex.leq_constraint(sum_s, one),
     ]
 
 

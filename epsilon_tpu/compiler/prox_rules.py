@@ -566,6 +566,22 @@ def neg_log_det_epigraph(e):
     return MatchResult(False)
 
 
+def epigraph_exp_terminal(e):
+    """Terminal rule for exp-shaped epigraph constraints when the generic
+    epigraph rule is OFF (use_epigraph=False): ``exp(x) <= t`` has NO cone
+    decomposition in the reference either — its exponential-cone prox
+    (``prox/expcone.cc``) is dead code and ``prox/exp.cc:12-77`` registers
+    ONLY the epigraph operator, so the conic fallback for exp/log/logistic/
+    log_sum_exp compositions emits ``leq_constraint(exp(..), t)`` expecting
+    the epigraph kernel to terminate it.  Without this rule, no-epigraph
+    mode self-recurses (conic transform_exp returns the same constraint
+    shape it was given, ``conic.py:222-225`` in the reference)."""
+    f_expr, _ = get_epigraph(e)
+    if f_expr is None or f_expr.expr_type != ExprType.EXP:
+        return MatchResult(False)
+    return epigraph(e)
+
+
 def transform_cone(e):
     from . import conic
     obj, constrs = conic.transform_expr(e)
@@ -635,6 +651,8 @@ def transform_problem(problem: ex.Problem, use_epigraph: bool = True
     rules = PROX_RULES + BASE_RULES
     if use_epigraph:
         rules = rules + [epigraph]
+    else:
+        rules = rules + [epigraph_exp_terminal]
     rules = rules + [prox_non_negative_rule, transform_cone]
 
     terms = list(transform_expr(rules, problem.objective))

@@ -789,16 +789,24 @@ class LuFactorOp(LinOp):
 
     @property
     def T(self):
-        op = LuFactorOp.__new__(LuFactorOp)
-        op._M = self._M
-        op.lu, op.piv = self.lu, self.piv
-        op.shape = self.shape
-        op.transposed = not self.transposed
-        op._jlu = None
-        op._jinv = None
-        op._jpacked = None
-        op._sym = self._sym
-        return op
+        # Cached like DenseOp.T / SparseOp.T: a fresh op per call would
+        # rebuild its _hlu/_hinv host buffers at trace time and miss the
+        # constant-lifting index (caught by strict lifting in the
+        # no-epigraph KKT back-substitution, round 4).
+        t = getattr(self, "_t_cache", None)
+        if t is None:
+            t = LuFactorOp.__new__(LuFactorOp)
+            t._M = self._M
+            t.lu, t.piv = self.lu, self.piv
+            t.shape = self.shape
+            t.transposed = not self.transposed
+            t._jlu = None
+            t._jinv = None
+            t._jpacked = None
+            t._sym = self._sym
+            t._t_cache = self
+            self._t_cache = t
+        return t
 
     def scale(self, alpha):
         return DenseOp(self.as_dense() * alpha)

@@ -204,6 +204,11 @@ class VectorProxOperator(ProxOperator):
                 else:
                     X, t = jax.vmap(kern, in_axes=(0, 0), out_axes=(0, 0))(V, s)
                 return [linop.jvec(X), t]
+            if entry.elementwise_epi:
+                # per-coordinate epigraph (EXP, exp.cc:12-77): t is the
+                # same size as x, no scalar reduction
+                x, t = epi(vals[0], vals[-1], **p)
+                return [x, t]
             s = vals[-1][0]
             x, t = epi(vals[0], s, **p)
             return [x, jnp.reshape(t, (1,))]

@@ -36,6 +36,9 @@ class KernelEntry:
     elementwise: bool = False   # supports vector lam
     matrix: bool = False        # operates on mat(arg)
     nargs: int = 1
+    # epigraph t is per-coordinate (same size as x), not a scalar bound —
+    # EXP's vectorized per-element Newton (exp.cc:12-77)
+    elementwise_epi: bool = False
 
 
 def _scaled_zone_entry(defaults):
@@ -107,7 +110,7 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
         # only the epigraph form exists in the reference (exp.cc:12-77)
         epi=lambda v, s, **p: ew.epi_exp(v, s),
         feval=lambda x, **p: jnp.exp(x),
-        elementwise=True),
+        elementwise=True, elementwise_epi=True),
     ProxKind.SUM_LOGISTIC: KernelEntry(
         prox=lambda v, lam, **p: ew.prox_sum_logistic(v, lam),
         epi=ne.make_epigraph(
