@@ -113,6 +113,13 @@ def get_scalar_constant(e: Expression) -> Optional[float]:
 
 
 def get_hinge_arg(e: Expression) -> Optional[Expression]:
+    """Hinge argument of ``sum(max(0, x))`` — flat, axis, or nested
+    ``sum(sum(max(0, x), axis=k))`` form (the outer expr's axis attr is
+    authoritative for all three; the nested form is flat)."""
+    if (e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
+            e.args[0].expr_type == ExprType.SUM and
+            e.args[0].attr.get("axis") is not None):
+        e = e.args[0]
     if (e.expr_type == ExprType.SUM and
             e.args[0].expr_type == ExprType.MAX_ELEMENTWISE and
             len(e.args[0].args) == 2):
@@ -232,11 +239,48 @@ def _simple_rule(kind, extract, convert=convert_diagonal, record_size=True):
     return rule
 
 
-prox_norm_1 = _simple_rule(
-    ProxKind.NORM_1,
-    lambda e: e.args[0] if (e.expr_type == ExprType.NORM_P and
-                            e.attr["p"] == 1 and e.attr.get("axis") is None)
-    else None)
+def _sum_of_elementwise_extract(match_inner):
+    """Match a separable SUM-of-elementwise atom in all three shapes
+    (``vector_prox.cc:147-183`` axis machinery):
+
+    - flat        ``sum(g(X))``              -> arg X, axis None
+    - axis        ``sum(g(X), axis=k)``      -> arg X, axis k (vector-valued;
+      appears under an epigraph bound, projected per-slice by vmap)
+    - nested      ``sum(sum(g(X), axis=k))`` -> arg X, axis None (the same
+      separable sum — extracted flat, which skips the pointless vmap)
+
+    ``_simple_rule`` reads ``axis`` off the OUTER expression, which is
+    exactly right for all three.
+    """
+    def extract(e):
+        if e.expr_type != ExprType.SUM:
+            return None
+        arg = match_inner(e.args[0])
+        if arg is not None:
+            return arg
+        if (e.attr.get("axis") is None and
+                e.args[0].expr_type == ExprType.SUM and
+                e.args[0].attr.get("axis") is not None):
+            return match_inner(e.args[0].args[0])
+        return None
+    return extract
+
+
+def _norm1_extract(e):
+    """norm_1 in flat, axis (per-slice L1, epigraph use), and
+    sum-of-axis (== flat L1) forms; the TV rule runs first and claims
+    norm_1-of-differences."""
+    if e.expr_type == ExprType.NORM_P and e.attr["p"] == 1:
+        return e.args[0]
+    if (e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
+            e.args[0].expr_type == ExprType.NORM_P and
+            e.args[0].attr["p"] == 1 and
+            e.args[0].attr.get("axis") is not None):
+        return e.args[0].args[0]
+    return None
+
+
+prox_norm_1 = _simple_rule(ProxKind.NORM_1, _norm1_extract)
 
 prox_exp = _simple_rule(
     ProxKind.EXP,
@@ -244,36 +288,33 @@ prox_exp = _simple_rule(
 
 prox_sum_exp = _simple_rule(
     ProxKind.SUM_EXP,
-    lambda e: e.args[0].args[0] if (
-        e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
-        e.args[0].expr_type == ExprType.EXP) else None)
+    _sum_of_elementwise_extract(
+        lambda a: a.args[0] if a.expr_type == ExprType.EXP else None))
 
 prox_sum_inv_pos = _simple_rule(
     ProxKind.SUM_INV_POS,
-    lambda e: e.args[0].args[0] if (
-        e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
-        e.args[0].expr_type == ExprType.POWER and
-        e.args[0].attr["p"] == -1) else None)
+    _sum_of_elementwise_extract(
+        lambda a: a.args[0] if (a.expr_type == ExprType.POWER and
+                                a.attr["p"] == -1) else None))
 
 prox_sum_logistic = _simple_rule(
     ProxKind.SUM_LOGISTIC,
-    lambda e: e.args[0].args[0] if (
-        e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
-        e.args[0].expr_type == ExprType.LOGISTIC) else None)
+    _sum_of_elementwise_extract(
+        lambda a: a.args[0] if a.expr_type == ExprType.LOGISTIC else None))
 
 prox_sum_neg_entr = _simple_rule(
     ProxKind.SUM_NEG_ENTR,
-    lambda e: e.args[0].args[0].args[0] if (
-        e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
-        e.args[0].expr_type == ExprType.NEGATE and
-        e.args[0].args[0].expr_type == ExprType.ENTR) else None)
+    _sum_of_elementwise_extract(
+        lambda a: a.args[0].args[0] if (
+            a.expr_type == ExprType.NEGATE and
+            a.args[0].expr_type == ExprType.ENTR) else None))
 
 prox_sum_neg_log = _simple_rule(
     ProxKind.SUM_NEG_LOG,
-    lambda e: e.args[0].args[0].args[0] if (
-        e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
-        e.args[0].expr_type == ExprType.NEGATE and
-        e.args[0].args[0].expr_type == ExprType.LOG) else None)
+    _sum_of_elementwise_extract(
+        lambda a: a.args[0].args[0] if (
+            a.expr_type == ExprType.NEGATE and
+            a.args[0].expr_type == ExprType.LOG) else None))
 
 
 def prox_sum_kl_div(e):
@@ -318,6 +359,7 @@ def prox_sum_deadzone(e):
     fold, _, constrs = convert_diagonal(arg)
     spec = ProxFunctionSpec(kind=ProxKind.SUM_DEADZONE,
                             arg_sizes=[_dims(arg)],
+                            axis=e.attr.get("axis"),
                             scaled_zone_params={"M": -m_val})
     return MatchResult(True, PendingTerm(spec, [fold]), constrs)
 
@@ -335,7 +377,13 @@ def prox_sum_hinge(e):
 def prox_sum_quantile(e):
     arg = None
     alpha = beta = None
-    if (e.expr_type == ExprType.SUM and e.attr.get("axis") is None and
+    axis = e.attr.get("axis")
+    if (e.expr_type == ExprType.SUM and axis is None and
+            e.args[0].expr_type == ExprType.SUM and
+            e.args[0].attr.get("axis") is not None):
+        # nested sum(sum(..., axis=k)): the same separable sum, flat
+        e = e.args[0]
+    if (e.expr_type == ExprType.SUM and
             e.args[0].expr_type == ExprType.MAX_ELEMENTWISE and
             len(e.args[0].args) == 2):
         a_c, x = get_quantile_arg(e.args[0].args[0])
@@ -352,13 +400,22 @@ def prox_sum_quantile(e):
         return MatchResult(False)
     a_val = aff.constant_value(alpha).ravel(order="F")
     b_val = aff.constant_value(beta).ravel(order="F")
+    if axis is not None and (a_val.size != 1 or b_val.size != 1):
+        # per-slice vmap cannot thread full-size per-coordinate params;
+        # vector-parameter quantile stays flat-only (matches the reference,
+        # which has no axis form for scaled-zone params at all)
+        return MatchResult(False)
     n = arg.dim
-    if a_val.size == 1:
-        a_val = np.full(n, a_val[0])
-    if b_val.size == 1:
-        b_val = np.full(n, b_val[0])
+    if axis is None:
+        if a_val.size == 1:
+            a_val = np.full(n, a_val[0])
+        if b_val.size == 1:
+            b_val = np.full(n, b_val[0])
+    else:
+        a_val, b_val = float(a_val[0]), float(b_val[0])
     fold, _, constrs = convert_diagonal(arg)
     spec = ProxFunctionSpec(kind=ProxKind.SUM_QUANTILE, arg_sizes=[_dims(arg)],
+                            axis=axis,
                             scaled_zone_params={"alpha": a_val, "beta": b_val})
     return MatchResult(True, PendingTerm(spec, [fold]), constrs)
 

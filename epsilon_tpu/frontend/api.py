@@ -261,8 +261,8 @@ def norm(x, p=2, axis=None):
     return ex.norm_p(_wrap(x), float(p), axis=axis)
 
 
-def norm1(x):
-    return ex.norm_p(_wrap(x), 1)
+def norm1(x, axis=None):
+    return ex.norm_p(_wrap(x), 1, axis=axis)
 
 
 def norm2(x, axis=None):

@@ -98,7 +98,11 @@ class _ConstLifter:
         return [jnp.asarray(a) for a in self.arrays]
 
 
-_LIFTER: "_ConstLifter | None" = None
+_LIFT_STACK: "list[_ConstLifter]" = []
+
+
+def _active_lifter():
+    return _LIFT_STACK[-1] if _LIFT_STACK else None
 
 
 class lift_collect:
@@ -107,14 +111,12 @@ class lift_collect:
         self.lifter.mode = "collect"
 
     def __enter__(self):
-        global _LIFTER
-        assert _LIFTER is None, "constant lifting is not reentrant"
-        _LIFTER = self.lifter
+        _LIFT_STACK.append(self.lifter)
         return self.lifter
 
     def __exit__(self, *exc):
-        global _LIFTER
-        _LIFTER = None
+        popped = _LIFT_STACK.pop()
+        assert popped is self.lifter, "mismatched lift context nesting"
         return False
 
 
@@ -124,33 +126,37 @@ class lift_apply:
         self.args = args
 
     def __enter__(self):
-        global _LIFTER
-        assert _LIFTER is None, "constant lifting is not reentrant"
         self.lifter.mode = "apply"
         self.lifter.args = self.args
-        _LIFTER = self.lifter
+        _LIFT_STACK.append(self.lifter)
 
     def __exit__(self, *exc):
-        global _LIFTER
-        _LIFTER = None
+        popped = _LIFT_STACK.pop()
+        assert popped is self.lifter, "mismatched lift context nesting"
         self.lifter.args = None
         return False
 
 
 def _to_device(host_array):
     """numpy -> jnp for use inside traced code; participates in constant
-    lifting when a lifter context is active."""
-    if _LIFTER is not None:
-        key = id(host_array)
-        if _LIFTER.mode == "collect":
-            if key not in _LIFTER.index:
-                _LIFTER.index[key] = len(_LIFTER.arrays)
-                _LIFTER.arrays.append(host_array)
+    lifting when a lifter context is active.
+
+    Lift contexts form a STACK (scenario sharding traces a per-term inner
+    ``lift_apply`` inside the solver's outer epoch context): the innermost
+    lifter handles the array; an apply-mode miss delegates outward so ops
+    shared between inner and outer scopes still lift correctly."""
+    key = id(host_array)
+    for lifter in reversed(_LIFT_STACK):
+        if lifter.mode == "collect":
+            if key not in lifter.index:
+                lifter.index[key] = len(lifter.arrays)
+                lifter.arrays.append(host_array)
             return jnp.asarray(host_array)
-        if key in _LIFTER.index:
-            return _LIFTER.args[_LIFTER.index[key]]
-        # Array not seen during collect: the data would be embedded as an
-        # HLO constant AND would go stale under update_problem.  Every op
+        if key in lifter.index:
+            return lifter.args[lifter.index[key]]
+    if _LIFT_STACK:
+        # Array not seen during any collect: the data would be embedded as
+        # an HLO constant AND would go stale under update_problem.  Every op
         # must cache the host buffers it hands to _to_device so ids are
         # stable across the collect/apply traces (see DenseOp.T).
         if config.strict_lifting():
@@ -166,7 +172,7 @@ def _cached_device(obj, attr, make):
     """Cache a device value on obj.attr, but never cache tracers (a cached
     tracer would leak into later traces and poison recompiles), and bypass
     the cache entirely while constant lifting is active."""
-    if _LIFTER is not None:
+    if _LIFT_STACK:
         return make()
     val = getattr(obj, attr)
     if val is not None:
@@ -945,7 +951,7 @@ def _device_operand(A: np.ndarray):
 
 def _host_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     flops = 2.0 * A.shape[0] * A.shape[1] * B.shape[1]
-    if flops >= _DEVICE_GEMM_MIN_FLOPS and _LIFTER is None:
+    if flops >= _DEVICE_GEMM_MIN_FLOPS and not _LIFT_STACK:
         try:
             if jax.default_backend() not in ("cpu",):
                 out = _device_operand(A) @ _device_operand(B)

@@ -221,6 +221,11 @@ class VectorProxOperator(ProxOperator):
         if entry.nargs == 2:
             x, y = entry.prox((vals[0], vals[1]), lam, **p)
             return [x, y]
+        if spec.axis is not None and entry.elementwise:
+            # separable kernel: prox of a per-slice sum == prox of the flat
+            # sum — skip the pointless vmap (epigraph mode above still
+            # projects per slice, where axis DOES change the set)
+            return [entry.prox(vals[0], lam, **p)]
         if spec.axis is not None:
             # axis-mode batching: vmap the vector kernel over rows/cols of
             # mat(v) (replaces the serial loop vector_prox.cc:147-183)
