@@ -274,6 +274,56 @@ def _kkt_blocks(*mats: BlockMatrix) -> Dict:
     return out
 
 
+def _metric_change_of_vars(A: BlockMatrix, *others: BlockMatrix):
+    """De-collide (k, k)-keyed per-variable metrics in the assembled KKT.
+
+    The solvers pass the prox metric as ``A = w_k * I`` keyed ``(k, k)``
+    per variable ``k``; ``_kkt_blocks`` then merges A, A', and the -I slack
+    into ONE slot (``BlockMatrix.insert`` adds on collision), and the
+    merged system equals the true 3-block KKT of ``zero.cc:8-36`` iff
+    every colliding weight is 1.  Rather than growing the factor with
+    distinct slack rows (hot path: the two-block z-update), substitute
+    ``x~_k = w_k x_k`` — an EXACT change of variables: the colliding
+    metric becomes identity, every block column over ``k`` scales by
+    ``1/w_k``, the rhs is unchanged (the solver convention already feeds
+    ``v = A(point)``), and solutions de-scale by ``1/w_k``.
+
+    Returns ``{k: 1/w_k}`` for the colliding non-unit scalar blocks
+    (empty for the N-block usage, whose metric rows are constraint keys).
+    Raises on a colliding non-scalar metric — silently skewed algebra is
+    how this bug survived three rounds.
+    """
+    cols = {c for (_, c) in A.blocks}
+    for M in others:
+        cols |= {c for (_, c) in M.blocks}
+    descale = {}
+    for (r, c), op in A.blocks.items():
+        if r == c and r in cols:
+            w = op.scalar_value()
+            if w is None:
+                raise ValueError(
+                    f"non-scalar prox metric collides with variable {r!r}: "
+                    "the assembled KKT would merge A/A'/-I incorrectly")
+            if w != 1.0:
+                descale[c] = 1.0 / w
+    return descale
+
+
+def _scale_cols(M: BlockMatrix, descale: Dict) -> BlockMatrix:
+    if not descale:
+        return M
+    return BlockMatrix({
+        (r, c): (op.scale(descale[c]) if c in descale else op)
+        for (r, c), op in M.blocks.items()})
+
+
+def _descale_solution(x: BlockVector, descale: Dict) -> BlockVector:
+    if not descale:
+        return x
+    return BlockVector({k: (descale[k] * v if k in descale else v)
+                        for k, v in x.items()})
+
+
 class ZeroProxOperator(ProxOperator):
     """Projection onto {H(x) + g = 0} in the metric ||A(x) - v||
     (``zero.cc:8-36``): solve
@@ -286,6 +336,9 @@ class ZeroProxOperator(ProxOperator):
                  affine_constraint: AffineOperator):
         H, g = affine_arg.A, affine_arg.b
         A = affine_constraint.A
+        self._descale = _metric_change_of_vars(A, H)
+        H = _scale_cols(H, self._descale)
+        A = _scale_cols(A, self._descale)
         M = _kkt_blocks(H, H.T, A, A.T,
                         A.left_identity().scale(-1.0))
         self.chol = BlockCholesky(M).factor()
@@ -293,7 +346,8 @@ class ZeroProxOperator(ProxOperator):
         self.var_keys = H.col_keys()
 
     def apply(self, v: BlockVector) -> BlockVector:
-        return self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
+        x = self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
+        return _descale_solution(x, self._descale)
 
 
 class AffineProxOperator(ProxOperator):
@@ -304,6 +358,8 @@ class AffineProxOperator(ProxOperator):
     def __init__(self, spec: ProxFunctionSpec, affine_arg: AffineOperator,
                  affine_constraint: AffineOperator):
         A, b = affine_constraint.A, affine_constraint.b
+        self._descale = _metric_change_of_vars(A)
+        A = _scale_cols(A, self._descale)
         M = _kkt_blocks(A, A.T, A.left_identity().scale(-1.0))
         self.chol = BlockCholesky(M).factor()
         c = BlockVector()
@@ -311,13 +367,15 @@ class AffineProxOperator(ProxOperator):
             for (r, ckey), op in affine_arg.A.blocks.items():
                 dense = op.as_dense()
                 assert dense.shape[0] == 1, "affine arg must be 1-row"
-                vec = dense[0] * spec.alpha
+                # linear functional in the x~ = w x variables: c' D^-1 x~
+                vec = dense[0] * spec.alpha * self._descale.get(ckey, 1.0)
                 c[ckey] = c[ckey] + vec if ckey in c else vec
         self.rhs0 = -1.0 * b - c
         self.var_keys = A.col_keys()
 
     def apply(self, v: BlockVector) -> BlockVector:
-        return self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
+        x = self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
+        return _descale_solution(x, self._descale)
 
 
 class SumSquareProxOperator(ProxOperator):
@@ -331,6 +389,9 @@ class SumSquareProxOperator(ProxOperator):
                  affine_constraint: AffineOperator):
         H, g = affine_arg.A, affine_arg.b
         A = affine_constraint.A
+        self._descale = _metric_change_of_vars(A, H)
+        H = _scale_cols(H, self._descale)
+        A = _scale_cols(A, self._descale)
         a = float(np.sqrt(2.0 * spec.alpha))
         Ha = BlockMatrix({k: op.scale(a) for k, op in H.blocks.items()})
         M = _kkt_blocks(Ha, Ha.T, A, A.T,
@@ -341,7 +402,8 @@ class SumSquareProxOperator(ProxOperator):
         self.var_keys = H.col_keys()
 
     def apply(self, v: BlockVector) -> BlockVector:
-        return self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
+        x = self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
+        return _descale_solution(x, self._descale)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from ..ops import linop
 from ..ops.linop import lift_apply, lift_collect
 from ..ops.block import BlockMatrix, BlockVector
 from ..ops.prox.operator import create_prox_operator
+from . import scenario
 from .objective import problem_objective
 from .params import SolverParams
 from .status import Residuals, SolverState, SolverStatus
@@ -130,17 +131,23 @@ class SolverBase:
     def objective_value(self, x: BlockVector):
         return problem_objective(self.problem, x)
 
-    def _shard_wrap(self, fn):
-        """Wrap a traceable fn in shard_map over the term mesh (all inputs/
-        outputs replicated; the sharding is in the lax.switch bucket
-        dispatch + psum inside). Identity when no mesh is configured."""
+    def _shard_wrap(self, fn, in_specs=None, out_specs=None):
+        """Wrap a traceable fn in shard_map over the term mesh.  Default:
+        all inputs/outputs replicated (the sharding is in the lax.switch
+        bucket dispatch + psum inside); scenario stacking passes explicit
+        per-leaf specs (P(axis) on stacked state keys and stacked term
+        data). Identity when no mesh is configured."""
         mesh = getattr(self, "mesh", None)
         if mesh is None:
             return fn
         from jax.sharding import PartitionSpec as P
-        n_in = len(inspect.signature(fn).parameters)
-        return jax.shard_map(fn, mesh=mesh, in_specs=tuple([P()] * n_in),
-                             out_specs=P(), check_vma=False)
+        if in_specs is None:
+            n_in = len(inspect.signature(fn).parameters)
+            in_specs = tuple([P()] * n_in)
+        if out_specs is None:
+            out_specs = P()
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
 
     def _lift_constants(self, state):
         """Record every frozen host array the epoch touches and return the
@@ -165,10 +172,8 @@ class SolverBase:
         self._rebuild_operators(problem)
         if self._compiled is not None:
             run, _old = self._compiled
-            with lift_collect() as lifter:
-                jax.eval_shape(self._shard_wrap(self._epoch),
-                               self._init_state())
-            self._compiled = (run, lifter.device_args())
+            _lifter, args = self._lift_constants(self._init_state())
+            self._compiled = (run, args)
 
     def _finish(self, state, iters, res, converged, t_init, t_solve):
         self.status.num_iterations = int(iters)
@@ -196,63 +201,122 @@ class ProxADMMTwoBlockSolver(SolverBase):
         sqrt_rho = 1.0 if self.adaptive else float(np.sqrt(params.rho))
         self.sqrt_rho = sqrt_rho
 
-        # Constraint projection operator over all constraint variables
-        # (prox_admm_two_block.cc:21-50); in adaptive-rho mode the metric is
-        # the identity (the projection is rho-invariant) and rho enters the
-        # term proxes as a traced scalar instead.
+        # Per-term prox operators with A = sqrt(rho)*I over term variables
+        # (prox_admm_two_block.cc:52-88) — built first: scenario detection
+        # traces them.
+        self._build_term_ops(problem)
+
+        # Scenario stacking (memory-sharded term parallelism): isomorphic
+        # terms tied to a shared variable by identity ZERO constraints stack
+        # along the mesh axis; their data, state, and x-updates shard with
+        # P(axis) and the tie projection folds into a psum average (see
+        # solvers/scenario.py).
+        self.mesh = params.mesh
+        self.axis_name = None
+        self.n_dev = 1
+        self.buckets: Optional[List[List[int]]] = None
+        self.scn_groups: List[scenario.ScenarioGroup] = []
+        self._scn_keys: set = set()
+        stacked_terms: set = set()
+        tie_cons: set = set()
+        if self.mesh is not None:
+            if len(self.mesh.axis_names) != 1:
+                raise ValueError("term sharding requires a 1-D mesh")
+            self.axis_name = self.mesh.axis_names[0]
+            self.n_dev = int(self.mesh.devices.size)
+            self.scn_groups, stacked_terms, tie_cons = \
+                scenario.detect_scenario_groups(
+                    problem, self.term_ops, self.term_vars, self.n_dev,
+                    self.adaptive, sqrt_rho)
+            self._scn_keys = {g.key for g in self.scn_groups}
+        self._stacked_terms = stacked_terms
+        self._folded_pvs = {pv for g in self.scn_groups for pv in g.pv_names}
+
+        # Constraint projection operator over the constraint variables
+        # (prox_admm_two_block.cc:21-50), EXCLUDING folded tie constraints;
+        # in adaptive-rho mode the metric is the identity (the projection is
+        # rho-invariant) and rho enters the term proxes as a traced scalar.
+        # Folded shared variables carry metric weight sqrt(S+1) — the exact
+        # reduction of the joint projection (scenario.py docstring).
         Hc = BlockMatrix()
         gc = BlockVector()
-        self.z_dims: Dict[str, int] = {}
+        self.z_dims: Dict[str, int] = {}   # ALL constraint vars (eps scaling)
+        red_z_dims: Dict[str, int] = {}
         for i, con in enumerate(problem.constraints):
             if con.cone != Cone.ZERO:
                 raise ValueError(f"two-block ADMM supports ZERO cones only, "
                                  f"got {con.cone}")
             Ai, bi = _rekey_constraint(i, con.op)
             for (r, c), op in Ai.blocks.items():
-                Hc.insert(r, c, op)
                 self.z_dims[c] = op.n
+            if i in tie_cons:
+                continue
+            for (r, c), op in Ai.blocks.items():
+                Hc.insert(r, c, op)
+                red_z_dims[c] = op.n
             for r, vec in bi.items():
                 gc[r] = vec
-        Ac = BlockMatrix({(k, k): linop.scalar(sqrt_rho, n)
-                          for k, n in self.z_dims.items()})
+        self._proj_w = {g.shared: float(np.sqrt(g.S + 1.0))
+                        for g in self.scn_groups}
+        Ac = BlockMatrix({(k, k): linop.scalar(
+            sqrt_rho * self._proj_w.get(k, 1.0), n)
+            for k, n in red_z_dims.items()})
         self.constr_prox = None
-        if self.z_dims:
+        if red_z_dims:
             self.constr_prox = create_prox_operator(
                 ProxFunctionSpec(kind=ProxKind.ZERO),
                 AffineOperator(Hc, gc), AffineOperator(Ac, BlockVector()))
         self.m = sum(Hc.row_dim(r) for r in Hc.row_keys())
         self.n = sum(self.z_dims.values())
 
-        # Per-term prox operators with A = sqrt(rho)*I over term variables
-        # (prox_admm_two_block.cc:52-88)
-        self._build_term_ops(problem)
-
-        # All state vectors live on a fixed key set (term vars + constraint
-        # vars) so loop carries keep a stable pytree structure.
-        self.all_dims: Dict[str, int] = dict(self.z_dims)
-        for tvars in self.term_vars:
+        # State key sets: all_dims has the LOCAL (per-device) dims used by
+        # traced code inside shard_map; state_dims the GLOBAL dims used to
+        # materialize state outside.  Identical without scenario stacking.
+        self.all_dims: Dict[str, int] = {}
+        self.state_dims: Dict[str, int] = {}
+        for k, n in self.z_dims.items():
+            if k not in self._folded_pvs:
+                self.all_dims[k] = self.state_dims[k] = n
+        for ti, tvars in enumerate(self.term_vars):
+            if ti in stacked_terms:
+                continue
             for v in tvars:
-                self.all_dims[v] = problem.var_dims[v]
+                self.all_dims[v] = self.state_dims[v] = problem.var_dims[v]
+        for g in self.scn_groups:
+            self.all_dims[g.key] = (g.S // self.n_dev) * g.d
+            self.state_dims[g.key] = g.S * g.d
 
-        # Term sharding: balance terms into one bucket per mesh device
-        # (greedy longest-processing-time on the H nnz cost model); each
-        # device executes its bucket via lax.switch(axis_index) and the
+        # Term sharding for the REMAINING terms: balance into one bucket per
+        # mesh device (greedy LPT on the H nnz cost model); each device
+        # executes its bucket via lax.switch(axis_index) and the
         # x contributions combine with a psum over the mesh axis.
-        self.mesh = params.mesh
-        self.axis_name = None
-        self.buckets: Optional[List[List[int]]] = None
         if self.mesh is not None:
-            if len(self.mesh.axis_names) != 1:
-                raise ValueError("term sharding requires a 1-D mesh")
-            self.axis_name = self.mesh.axis_names[0]
-            self.buckets = self._partition_terms(self.mesh.devices.size)
+            rem = [i for i in range(len(problem.terms))
+                   if i not in stacked_terms]
+            self.buckets = self._partition_terms(self.n_dev, rem) if rem \
+                else None
 
+        self._scn_args = self._make_scn_args()
+        self._scn_traced = None
         self._t_init = time.time() - t0
         self._compiled = None
 
-    def _partition_terms(self, n_buckets: int) -> List[List[int]]:
+    def _make_scn_args(self):
+        """Per-group stacked device constants, placed SHARDED along the mesh
+        axis at rest (each device holds only its scenarios' data)."""
+        if not self.scn_groups:
+            return []
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(self.axis_name))
+        return [[jax.device_put(a, sh) for a in g.host_stacks]
+                for g in self.scn_groups]
+
+    def _partition_terms(self, n_buckets: int,
+                         indices: Optional[List[int]] = None) -> List[List[int]]:
+        idx = range(len(self.problem.terms)) if indices is None else indices
         costs = []
-        for i, term in enumerate(self.problem.terms):
+        for i in idx:
+            term = self.problem.terms[i]
             nnz = sum(op.nnz() for op in term.H.A.blocks.values())
             # KKT-based operators pay an extra dense solve over their vars
             tn = sum(self.problem.var_dims[v] for v in self.term_vars[i])
@@ -292,6 +356,11 @@ class ProxADMMTwoBlockSolver(SolverBase):
         self._build_term_ops(problem)
         # constraint structure is data-independent in the supported update
         # path (equality constraints between variables); keep constr_prox.
+        if self.scn_groups:
+            for g in self.scn_groups:
+                scenario.refresh_group(g, self.term_ops, self.adaptive,
+                                       self.sqrt_rho)
+            self._scn_args = self._make_scn_args()
 
     # -- iteration bodies (traceable) --------------------------------------
     def _iter_body(self, state):
@@ -301,10 +370,18 @@ class ProxADMMTwoBlockSolver(SolverBase):
             z, u = state
             rho = None
         zu = z - u
+        x = _zeros(self.all_dims)
         if self.mesh is not None:
-            x = self._sharded_x_update(zu, rho)
+            if self.buckets is not None:
+                x = x + self._sharded_x_update(zu, rho)
+            # stacked scenarios: each device vmaps the shared prox trace
+            # over ITS slice of terms with ITS slice of the stacked data
+            for g, consts in zip(self.scn_groups, self._scn_traced):
+                Z = zu[g.key].reshape(g.S // self.n_dev, g.d)
+                fn = lambda c_i, z_i, _g=g: _g.local_apply(
+                    c_i, z_i, rho, self.adaptive, self.sqrt_rho)
+                x[g.key] = jnp.reshape(jax.vmap(fn)(consts, Z), (-1,))
         else:
-            x = _zeros(self.all_dims)
             for op in self.term_ops:
                 if self.adaptive:
                     x = x + op.apply_rho(zu, rho)
@@ -313,33 +390,62 @@ class ProxADMMTwoBlockSolver(SolverBase):
         alpha = self.params.over_relaxation
         x_hat = x if alpha == 1.0 else alpha * x + (1.0 - alpha) * z
         xu = x_hat + u
-        if self.constr_prox is not None:
-            zp = self.constr_prox.apply(self.sqrt_rho * xu)
-            # variables untouched by constraints pass through unprojected
-            z_new = BlockVector({k: (zp[k] if k in zp else xu[k])
-                                 for k in self.all_dims})
-        else:
-            z_new = xu
+        z_new = self._z_update(xu)
         u_new = u + x_hat - z_new
         new_state = ((z_new, u_new, rho) if self.adaptive
                      else (z_new, u_new))
         return new_state, x
+
+    def _z_update(self, xu):
+        """Projection onto the constraint set.  With scenario groups, the
+        identity ties fold in closed form: the shared variable's projection
+        input is the psum average of its scenarios (+ itself), with metric
+        weight sqrt(S+1) in the reduced KKT (see scenario.py docstring);
+        the stacked copies then broadcast back from the projected shared."""
+        if not self.scn_groups:
+            if self.constr_prox is None:
+                return xu
+            zp = self.constr_prox.apply(self.sqrt_rho * xu)
+            # variables untouched by constraints pass through unprojected
+            return BlockVector({k: (zp[k] if k in zp else xu[k])
+                                for k in self.all_dims})
+        red = BlockVector({k: v for k, v in xu.items()
+                           if k not in self._scn_keys})
+        for g in self.scn_groups:
+            W = xu[g.key].reshape(g.S // self.n_dev, g.d)
+            tot = jax.lax.psum(jnp.sum(W, axis=0), self.axis_name)
+            red[g.shared] = (red[g.shared] + tot) / (g.S + 1.0)
+        if self.constr_prox is not None:
+            scaled = BlockVector({
+                k: (self.sqrt_rho * self._proj_w.get(k, 1.0)) * v
+                for k, v in red.items()})
+            zp = self.constr_prox.apply(scaled)
+            red = BlockVector({k: (zp[k] if k in zp else red[k])
+                               for k in red.keys()})
+        z_new = BlockVector({k: red[k] for k in self.all_dims
+                             if k not in self._scn_keys})
+        for g in self.scn_groups:
+            z_new[g.key] = jnp.reshape(jnp.broadcast_to(
+                red[g.shared], (g.S // self.n_dev, g.d)), (-1,))
+        return z_new
 
     def _sharded_x_update(self, zu, rho):
         """x-update under shard_map: each device runs its term bucket
         (lax.switch on the device index) and a psum over the mesh axis
         combines the per-variable contributions — the heterogeneous-term
         analogue of the consensus solver's scenario sharding."""
-        keys = sorted(self.all_dims)
+        dims = {k: n for k, n in self.all_dims.items()
+                if k not in self._scn_keys}
+        keys = sorted(dims)
         offs = {}
         acc = 0
         for k in keys:
             offs[k] = acc
-            acc += self.all_dims[k]
+            acc += dims[k]
 
         def make_branch(bucket):
             def branch(zu):
-                x = _zeros(self.all_dims)
+                x = _zeros(dims)
                 for ti in bucket:
                     op = self.term_ops[ti]
                     if self.adaptive:
@@ -353,7 +459,21 @@ class ProxADMMTwoBlockSolver(SolverBase):
         idx = jax.lax.axis_index(self.axis_name)
         flat = jax.lax.switch(idx, [make_branch(b) for b in self.buckets], zu)
         flat = jax.lax.psum(flat, self.axis_name)
-        return BlockVector.unpack(flat, offs, self.all_dims)
+        return BlockVector.unpack(flat, offs, dims)
+
+    def _res_norm_sq(self, bv: BlockVector):
+        """||bv||^2 with stacked (device-local) keys psummed over the mesh
+        axis and replicated keys counted once."""
+        rep = jnp.asarray(0.0, dtype=config.default_dtype())
+        loc = jnp.asarray(0.0, dtype=config.default_dtype())
+        for k, v in bv.items():
+            if k in self._scn_keys:
+                loc = loc + jnp.sum(v * v)
+            else:
+                rep = rep + jnp.sum(v * v)
+        if self.scn_groups:
+            loc = jax.lax.psum(loc, self.axis_name)
+        return rep + loc
 
     def _residuals(self, state, x, z_prev):
         if self.adaptive:
@@ -363,10 +483,12 @@ class ProxADMMTwoBlockSolver(SolverBase):
             rho = self.params.rho
         abs_tol, rel_tol = self.params.abs_tol, self.params.rel_tol
         sqrt_n = float(np.sqrt(max(self.n, 1)))
-        r_norm = (x - z).norm()
-        s_norm = rho * (z - z_prev).norm()
-        eps_p = abs_tol * sqrt_n + rel_tol * jnp.maximum(x.norm(), z.norm())
-        eps_d = abs_tol * sqrt_n + rel_tol * rho * u.norm()
+        r_norm = jnp.sqrt(self._res_norm_sq(x - z))
+        s_norm = rho * jnp.sqrt(self._res_norm_sq(z - z_prev))
+        eps_p = abs_tol * sqrt_n + rel_tol * jnp.maximum(
+            jnp.sqrt(self._res_norm_sq(x)), jnp.sqrt(self._res_norm_sq(z)))
+        eps_d = abs_tol * sqrt_n + rel_tol * rho * jnp.sqrt(
+            self._res_norm_sq(u))
         return jnp.stack([r_norm, s_norm, eps_p, eps_d])
 
     def _x_zeros(self):
@@ -407,8 +529,8 @@ class ProxADMMTwoBlockSolver(SolverBase):
     def _init_state(self):
         if self.params.warm_start and self._warm_state is not None:
             return self._warm_state
-        z = _zeros(self.all_dims)
-        u = _zeros(self.all_dims)
+        z = _zeros(self.state_dims)
+        u = _zeros(self.state_dims)
         if self.adaptive:
             rho = jnp.asarray(self.params.rho, dtype=config.default_dtype())
             return (z, u, rho)
@@ -417,12 +539,67 @@ class ProxADMMTwoBlockSolver(SolverBase):
     def _migrate_warm_state(self, old_state, old_rho, old_adaptive):
         if old_state is None or old_adaptive != self.adaptive:
             return None
+        z = old_state[0]
+        if set(z.keys()) != set(self.state_dims) or any(
+                z[k].shape != (n,) for k, n in self.state_dims.items()):
+            return None  # state layout changed (e.g. scenario stacking)
         if self.adaptive:
             return old_state  # rho lives in the state itself
         # u is the scaled dual lambda/rho: preserve lambda across the rho
         # change (Boyd 3.4.1 rescaling)
         z, u = old_state
         return (z, (old_rho / self._init_rho) * u)
+
+    # -- scenario-stacking plumbing -----------------------------------------
+    def _bv_spec(self):
+        from jax.sharding import PartitionSpec as P
+        return BlockVector({k: (P(self.axis_name) if k in self._scn_keys
+                                else P()) for k in self.all_dims})
+
+    def _state_spec(self):
+        from jax.sharding import PartitionSpec as P
+        bv = self._bv_spec()
+        return (bv, bv, P()) if self.adaptive else (bv, bv)
+
+    def _scn_specs(self):
+        from jax.sharding import PartitionSpec as P
+        return [[P(self.axis_name)] * len(g.host_stacks)
+                for g in self.scn_groups]
+
+    def _lift_constants(self, state):
+        """Two-block override of the base collection trace: the epoch runs
+        under shard_map with the stacked-state/stacked-data specs and
+        ``_scn_traced`` bound, so scenario data flows through its per-group
+        inner ``lift_apply`` contexts (sharded at rest via ``_scn_args``)
+        while everything else lands in the outer epoch lifter."""
+        from jax.sharding import PartitionSpec as P
+
+        def f(state, stacked):
+            self._scn_traced = stacked
+            try:
+                return self._epoch(state)
+            finally:
+                self._scn_traced = None
+
+        fn = self._shard_wrap(
+            f, in_specs=(self._state_spec(), self._scn_specs()),
+            out_specs=(self._state_spec(), self._bv_spec(), P(), P()))
+        with lift_collect() as lifter:
+            jax.eval_shape(fn, state, self._scn_args)
+        return lifter, lifter.device_args()
+
+    def _unstack_x(self, x: BlockVector) -> BlockVector:
+        """Map stacked scenario keys back onto the original per-term
+        variable names (global arrays, outside shard_map)."""
+        if not self.scn_groups:
+            return x
+        out = BlockVector({k: v for k, v in x.items()
+                           if k not in self._scn_keys})
+        for g in self.scn_groups:
+            W = jnp.reshape(x[g.key], (g.S, g.d))
+            for rank, pv in enumerate(g.pv_names):
+                out[pv] = W[rank]
+        return out
 
     def solve(self) -> BlockVector:
         t0 = time.time()
@@ -442,6 +619,7 @@ class ProxADMMTwoBlockSolver(SolverBase):
         epoch_iters = self.params.epoch_iterations
         max_epochs = max(1, self.params.max_iterations // epoch_iters)
 
+        from jax.sharding import PartitionSpec as P
         if self.params.drive == "device":
             key = (max_epochs, epoch_iters, self.params.rel_tol,
                    self.params.abs_tol, self.params.over_relaxation,
@@ -453,39 +631,49 @@ class ProxADMMTwoBlockSolver(SolverBase):
             if self._compiled is None:
                 lifter, const_args = self._lift_constants(state)
 
-                def run(state, consts, start_it):
-                    with lift_apply(lifter, consts):
-                        def cond(carry):
-                            state, x, it, res, conv, buf = carry
-                            return (~conv) & (it < max_epochs * epoch_iters)
+                def run(state, stacked, consts, start_it):
+                    self._scn_traced = stacked
+                    try:
+                        with lift_apply(lifter, consts):
+                            def cond(carry):
+                                state, x, it, res, conv, buf = carry
+                                return (~conv) & (it < max_epochs * epoch_iters)
 
-                        def body(carry):
-                            state, _, it, _, _, buf = carry
-                            state, x, res, conv = self._epoch(state)
-                            # per-epoch residual series in a fixed-length
-                            # device buffer (log_iterations observability for
-                            # device drive, ≙ prox_admm.cc:219-230)
-                            buf = jax.lax.dynamic_update_index_in_dim(
-                                buf, res, it // epoch_iters, 0)
-                            return state, x, it + epoch_iters, res, conv, buf
+                            def body(carry):
+                                state, _, it, _, _, buf = carry
+                                state, x, res, conv = self._epoch(state)
+                                # per-epoch residual series in a fixed-length
+                                # device buffer (log_iterations observability
+                                # for device drive, ≙ prox_admm.cc:219-230)
+                                buf = jax.lax.dynamic_update_index_in_dim(
+                                    buf, res, it // epoch_iters, 0)
+                                return (state, x, it + epoch_iters, res, conv,
+                                        buf)
 
-                        # initial conv=False guarantees >= 1 epoch without
-                        # duplicating the epoch body in the HLO; starting the
-                        # counter at the resume step debits the checkpoint's
-                        # iterations from the max_iterations budget
-                        dtype = config.default_dtype()
-                        carry = (state, self._x_zeros(), start_it,
-                                 jnp.zeros(4, dtype=dtype),
-                                 jnp.asarray(False),
-                                 jnp.zeros((max_epochs, 4), dtype=dtype))
-                        return jax.lax.while_loop(cond, body, carry)
+                            # initial conv=False guarantees >= 1 epoch without
+                            # duplicating the epoch body in the HLO; starting
+                            # the counter at the resume step debits the
+                            # checkpoint's iterations from the budget
+                            dtype = config.default_dtype()
+                            carry = (state, self._x_zeros(), start_it,
+                                     jnp.zeros(4, dtype=dtype),
+                                     jnp.asarray(False),
+                                     jnp.zeros((max_epochs, 4), dtype=dtype))
+                            return jax.lax.while_loop(cond, body, carry)
+                    finally:
+                        self._scn_traced = None
 
-                run = jax.jit(self._shard_wrap(run))
+                run = jax.jit(self._shard_wrap(
+                    run,
+                    in_specs=(self._state_spec(), self._scn_specs(),
+                              [P()] * len(const_args), P()),
+                    out_specs=(self._state_spec(), self._bv_spec(),
+                               P(), P(), P(), P())))
                 self._compiled = (run, const_args)
             run, const_args = self._compiled
             state, start_iters = self._resume_state(state)
             state, x, iters, res, conv, series_buf = run(
-                state, const_args, jnp.asarray(start_iters))
+                state, self._scn_args, const_args, jnp.asarray(start_iters))
             x = jax.block_until_ready(x)
             iters = int(iters)
             self.status.series = _series_from_buffer(
@@ -495,14 +683,22 @@ class ProxADMMTwoBlockSolver(SolverBase):
         else:
             lifter, const_args = self._lift_constants(state)
 
-            def _epoch_raw(state, consts):
-                with lift_apply(lifter, consts):
-                    return self._epoch(state)
+            def _epoch_raw(state, stacked, consts):
+                self._scn_traced = stacked
+                try:
+                    with lift_apply(lifter, consts):
+                        return self._epoch(state)
+                finally:
+                    self._scn_traced = None
 
-            _epoch_jit = jax.jit(self._shard_wrap(_epoch_raw))
+            _epoch_jit = jax.jit(self._shard_wrap(
+                _epoch_raw,
+                in_specs=(self._state_spec(), self._scn_specs(),
+                          [P()] * len(const_args)),
+                out_specs=(self._state_spec(), self._bv_spec(), P(), P())))
 
             def epoch_fn(state, _consts=const_args):
-                return _epoch_jit(state, _consts)
+                return _epoch_jit(state, self._scn_args, _consts)
             state, iters = self._resume_state(state)
             conv = False
             x = res = None
@@ -523,7 +719,7 @@ class ProxADMMTwoBlockSolver(SolverBase):
             self.status.series = series
 
         self._finish(state, iters, res, conv, self._t_init, time.time() - t0)
-        return x
+        return self._unstack_x(x)
 
 
 class ProxADMMSolver(SolverBase):

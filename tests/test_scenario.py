@@ -1,0 +1,225 @@
+"""Scenario stacking: memory-sharded term parallelism (solvers/scenario.py).
+
+The replicated term-bucket path shards compute only; scenario stacking
+detects S isomorphic terms tied to a shared variable by identity ZERO
+constraints (the consensus template) and shards their DATA and STATE across
+the mesh axis with ``P(axis)``, folding the tie projection into a psum
+average.  Runs on the virtual 8-device CPU mesh (conftest).
+
+Reference analogue: the distributed-consensus ambitions of
+``solver_params.proto:42-56`` (vestigial there), realized TPU-natively.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from epsilon_tpu.ir import (AffineOperator, Cone, ConeConstraint,
+                            ProxFunctionSpec, ProxKind, ProxProblem, ProxTerm,
+                            arg_key)
+from epsilon_tpu.ops import linop
+from epsilon_tpu.ops.block import BlockMatrix, BlockVector
+from epsilon_tpu.solvers import ProxADMMTwoBlockSolver, SolverParams
+
+from test_solvers import lasso_oracle, _lasso_objective
+
+
+def term_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("terms",))
+
+
+def make_consensus_lasso(rng, S=8, m=12, n=6, lam=0.3, via_y=False,
+                         seed_data=None):
+    """min sum_i 0.5||A_i x_i - b_i||^2 + lam||z||_1  s.t. x_i = z
+    == lasso on the row-stacked system.  ``via_y`` moves the norm_1 onto a
+    separate variable y with an extra kept constraint z = y, exercising the
+    sqrt(S+1) metric weight in the reduced projection."""
+    if seed_data is None:
+        As = [rng.randn(m, n) for _ in range(S)]
+        x_true = rng.randn(n) * (rng.rand(n) < 0.5)
+        bs = [A @ x_true + 0.05 * rng.randn(m) for A in As]
+    else:
+        As, bs = seed_data
+    terms = []
+    cons = []
+    var_dims = {"z": n}
+    var_shapes = {"z": (n, 1)}
+    for i, (A, b) in enumerate(zip(As, bs)):
+        xi = f"x{i}"
+        terms.append(ProxTerm(
+            spec=ProxFunctionSpec(kind=ProxKind.SUM_SQUARE, alpha=0.5),
+            H=AffineOperator(
+                BlockMatrix({(arg_key(0), xi): linop.dense(A)}),
+                # host numpy offset: per-member data must be LIFTABLE to
+                # stack (a jnp offset bakes into the trace and demotes the
+                # group to bucket sharding — see _term_trace's const hash)
+                BlockVector({arg_key(0): np.asarray(-b)}))))
+        cons.append(ConeConstraint(
+            cone=Cone.ZERO,
+            op=AffineOperator(
+                BlockMatrix({(f"t{i}", xi): linop.identity(n),
+                             (f"t{i}", "z"): linop.scalar(-1.0, n)}),
+                BlockVector())))
+        var_dims[xi] = n
+        var_shapes[xi] = (n, 1)
+    terms.append(ProxTerm(
+        spec=ProxFunctionSpec(kind=ProxKind.NORM_1, alpha=lam),
+        H=AffineOperator(
+            BlockMatrix({(arg_key(0), "z"): linop.identity(n)}),
+            BlockVector())))
+    if via_y:
+        # objective-neutral mirror variable y (identity prox) tied by a
+        # KEPT constraint z = y: the reduced projection must weight z by
+        # sqrt(S+1) for the fold to stay exact
+        terms.append(ProxTerm(
+            spec=ProxFunctionSpec(kind=ProxKind.CONSTANT),
+            H=AffineOperator(
+                BlockMatrix({(arg_key(0), "y"): linop.identity(n)}),
+                BlockVector())))
+        var_dims["y"] = n
+        var_shapes["y"] = (n, 1)
+        cons.append(ConeConstraint(
+            cone=Cone.ZERO,
+            op=AffineOperator(
+                BlockMatrix({("cy", "z"): linop.identity(n),
+                             ("cy", "y"): linop.scalar(-1.0, n)}),
+                BlockVector())))
+    prob = ProxProblem(terms=terms, constraints=cons,
+                       var_dims=var_dims, var_shapes=var_shapes)
+    return prob, np.vstack(As), np.concatenate(bs)
+
+
+PARAMS = dict(rel_tol=1e-6, abs_tol=1e-8, max_iterations=4000)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("drive", ["device", "host"])
+def test_scenario_matches_oracle_and_sequential(rng, n_dev, drive):
+    prob, A_all, b_all = make_consensus_lasso(rng)
+    lam = 0.3
+
+    seq = ProxADMMTwoBlockSolver(prob, SolverParams(drive=drive, **PARAMS))
+    x_seq = seq.solve()
+
+    shd = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(n_dev), drive=drive, **PARAMS))
+    assert len(shd.scn_groups) == 1
+    g = shd.scn_groups[0]
+    assert g.S == 8 and g.shared == "z"
+    # the norm_1 term is the only one left for bucket dispatch
+    assert sorted(i for b in shd.buckets for i in b) == [8]
+    x_shd = shd.solve()
+
+    # stacked keys unstack to the original per-term variable names
+    for i in range(8):
+        assert f"x{i}" in x_shd.keys()
+        np.testing.assert_allclose(np.asarray(x_shd[f"x{i}"]),
+                                   np.asarray(x_seq[f"x{i}"]),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_shd["z"]), np.asarray(x_seq["z"]),
+                               rtol=1e-4, atol=1e-6)
+
+    # independent oracle on the row-stacked equivalent lasso
+    x_o = lasso_oracle(A_all, b_all, lam)
+    obj = _lasso_objective(A_all, b_all, lam, np.asarray(x_shd["z"]))
+    obj_o = _lasso_objective(A_all, b_all, lam, x_o)
+    assert obj <= obj_o + 1e-3 * abs(obj_o) + 1e-5
+
+    # identical algorithm => identical epoch count
+    assert shd.status.num_iterations == seq.status.num_iterations
+
+
+def test_scenario_metric_weight_via_kept_constraint(rng):
+    """With an extra kept constraint z = y, the reduced projection must
+    weight z by sqrt(S+1) — wrong weighting converges to a wrong point."""
+    prob, A_all, b_all = make_consensus_lasso(rng, via_y=True)
+    lam = 0.3
+    seq = ProxADMMTwoBlockSolver(prob, SolverParams(**PARAMS))
+    x_seq = seq.solve()
+    shd = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), **PARAMS))
+    assert len(shd.scn_groups) == 1
+    assert shd.constr_prox is not None  # the z = y projection survives
+    x_shd = shd.solve()
+    np.testing.assert_allclose(np.asarray(x_shd["z"]), np.asarray(x_seq["z"]),
+                               rtol=1e-4, atol=1e-6)
+    x_o = lasso_oracle(A_all, b_all, lam)
+    obj = _lasso_objective(A_all, b_all, lam, np.asarray(x_shd["z"]))
+    obj_o = _lasso_objective(A_all, b_all, lam, x_o)
+    assert obj <= obj_o + 1e-3 * abs(obj_o) + 1e-5
+
+
+def test_scenario_data_memory_is_sharded(rng):
+    """VERDICT r3 item 5 'done' condition: per-device live bytes of the
+    stacked term data ~= total/8 on the 8-device mesh (each device holds
+    only its scenarios' operator data — memory sharding, not just compute).
+    """
+    prob, _, _ = make_consensus_lasso(rng, S=8, m=32, n=16)
+    shd = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(8), **PARAMS))
+    assert len(shd.scn_groups) == 1
+    assert shd._scn_args, "stacked device data missing"
+    for arr in shd._scn_args[0]:
+        assert len(arr.sharding.device_set) == 8
+        shard_bytes = [s.data.nbytes for s in arr.addressable_shards]
+        assert len(shard_bytes) == 8
+        assert max(shard_bytes) == arr.nbytes // 8  # exact 1/8 per device
+    # state is materialized per-device inside the jitted loop: the stacked
+    # state key carries the LOCAL dim in traced code
+    g = shd.scn_groups[0]
+    assert shd.all_dims[g.key] == g.d
+    assert shd.state_dims[g.key] == 8 * g.d
+
+
+def test_scenario_update_problem_no_recompile(rng):
+    """Parameter updates restack per-scenario data without retracing: the
+    compiled run object is reused and serves the NEW data (guards the
+    positional-substitution invariant of refresh_group)."""
+    prob, A_all, b_all = make_consensus_lasso(rng)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), **PARAMS))
+    solver.solve()
+    run_obj = solver._compiled[0]
+
+    rng2 = np.random.RandomState(7)
+    As2 = [rng2.randn(12, 6) for _ in range(8)]
+    x2 = rng2.randn(6) * (rng2.rand(6) < 0.5)
+    bs2 = [A @ x2 + 0.05 * rng2.randn(12) for A in As2]
+    prob2, A2_all, b2_all = make_consensus_lasso(
+        rng2, seed_data=(As2, bs2))
+    solver.update_problem(prob2)
+    x_new = solver.solve()
+    assert solver._compiled[0] is run_obj, "update_problem retraced"
+
+    x_o = lasso_oracle(A2_all, b2_all, 0.3)
+    obj = _lasso_objective(A2_all, b2_all, 0.3, np.asarray(x_new["z"]))
+    obj_o = _lasso_objective(A2_all, b2_all, 0.3, x_o)
+    assert obj <= obj_o + 1e-3 * abs(obj_o) + 1e-5
+
+
+def test_scenario_adaptive_rho(rng):
+    prob, A_all, b_all = make_consensus_lasso(rng)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), adaptive_rho=True,
+                           rel_tol=1e-5, abs_tol=1e-7, max_iterations=8000))
+    assert len(solver.scn_groups) == 1
+    sol = solver.solve()
+    x_o = lasso_oracle(A_all, b_all, 0.3)
+    obj = _lasso_objective(A_all, b_all, 0.3, np.asarray(sol["z"]))
+    obj_o = _lasso_objective(A_all, b_all, 0.3, x_o)
+    assert obj <= obj_o + 1e-2 * abs(obj_o) + 1e-4
+
+
+def test_no_stacking_when_indivisible(rng):
+    """S=6 scenarios on 4 devices: 6 % 4 != 0 — falls back to bucket
+    sharding (correctness over cleverness; uneven stacks would need
+    padding)."""
+    prob, _, _ = make_consensus_lasso(rng, S=6)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), **PARAMS))
+    assert solver.scn_groups == []
+    assert sorted(i for b in solver.buckets for i in b) == list(range(7))
+    sol = solver.solve()
+    assert np.all(np.isfinite(np.asarray(sol["z"])))
