@@ -50,6 +50,9 @@ class ConsensusResult:
     r_norm: float
     s_norm: float
     converged: bool
+    # per-epoch (r_norm, s_norm) residual series — observability parity with
+    # the main solver's status.series (≙ ``prox_admm.cc:219-230`` log lines)
+    series: Optional[np.ndarray] = None
 
 
 class ConsensusADMM:
@@ -146,17 +149,25 @@ class ConsensusADMM:
         return x, u_new, z_new, (r_sq, x_sq, u_sq)
 
     def _epoch(self, data, state):
+        """One epoch of sweeps + residuals.  The dual residual uses the
+        FINAL sweep's ``z - z_prev`` (one extra z carried through the
+        fori_loop), matching the reference's per-iteration ``z_prev_ = z_``
+        snapshot (``prox_admm_two_block.cc:101,135-156``) and the main
+        solver's epoch-tail fix (``admm.py _epoch``) — an epoch-start delta
+        inflates s_norm ~E-fold near convergence and delays declared
+        convergence by whole epochs at tight tolerances."""
         x, u, z, rho = state
-        z_prev = z
         zero = jnp.zeros((), dtype=z.dtype)
 
         def body(_, carry):
-            x, u, z, _stats = carry
-            return self._local_step(data, x, u, z, rho)
+            x, u, z, _stats, _zp = carry
+            zp = z
+            x, u, z, stats = self._local_step(data, x, u, z, rho)
+            return x, u, z, stats, zp
 
-        x, u, z, stats = jax.lax.fori_loop(
+        x, u, z, stats, z_prev = jax.lax.fori_loop(
             0, self.epoch_iterations, body,
-            (x, u, z, (zero, zero, zero)))
+            (x, u, z, (zero, zero, zero), z))
         r_sq, x_sq, u_sq = stats
         r_norm = jnp.sqrt(r_sq)
         s_norm = rho * jnp.sqrt(jnp.asarray(self.S, z.dtype)) \
@@ -186,17 +197,22 @@ class ConsensusADMM:
 
         def run(data, state):
             def cond(carry):
-                _, it, _, conv = carry
+                _, it, _, conv, _buf = carry
                 return (~conv) & (it < max_epochs * epoch_iters)
 
             def body(carry):
-                state, it, _, _ = carry
+                state, it, _, _, buf = carry
                 state, res, conv = self._epoch(data, state)
-                return state, it + epoch_iters, res, conv
+                # fixed-length per-epoch residual series buffer (device
+                # drive observability, ≙ admm.py's series_buf)
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, res, it // epoch_iters, 0)
+                return state, it + epoch_iters, res, conv, buf
 
             zero = jnp.zeros((), dtype=state[2].dtype)
             carry = (state, jnp.asarray(0), jnp.stack([zero, zero]),
-                     jnp.asarray(False))
+                     jnp.asarray(False),
+                     jnp.zeros((max_epochs, 2), dtype=state[2].dtype))
             return jax.lax.while_loop(cond, body, carry)
 
         if self.mesh is not None:
@@ -207,7 +223,7 @@ class ConsensusADMM:
             run = jax.shard_map(
                 run, mesh=self.mesh,
                 in_specs=(data_spec, state_specs),
-                out_specs=((spec, spec, rep, rep), rep, rep, rep),
+                out_specs=((spec, spec, rep, rep), rep, rep, rep, rep),
                 check_vma=False)
         return jax.jit(run)
 
@@ -231,13 +247,15 @@ class ConsensusADMM:
             self._compiled = self._build()
         if state is None:
             state = self.init_state()
-        state, iters, res, conv = self._compiled(self.data, state)
+        state, iters, res, conv, series_buf = self._compiled(self.data, state)
         state = jax.block_until_ready(state)
         self._last_state = state
+        n_epochs = int(iters) // self.epoch_iterations
         return ConsensusResult(
             z=state[2], iterations=int(iters),
             r_norm=float(res[0]), s_norm=float(res[1]),
-            converged=bool(conv))
+            converged=bool(conv),
+            series=np.asarray(series_buf)[:n_epochs])
 
 
 def consensus_lasso_solver(A_blocks, b_blocks, lam: float, rho: float = 1.0,

@@ -256,8 +256,15 @@ class ProxADMMTwoBlockSolver(SolverBase):
                 red_z_dims[c] = op.n
             for r, vec in bi.items():
                 gc[r] = vec
-        self._proj_w = {g.shared: float(np.sqrt(g.S + 1.0))
-                        for g in self.scn_groups}
+        # Joint fold weight per shared variable: several scenario groups may
+        # tie to the SAME shared var (two isomorphism families on one z);
+        # the exact joint projection substitutes all their copies at once,
+        # m = (w_z + sum_g tot_g)/(1 + sum_g S_g), metric sqrt(1 + sum_g S_g)
+        self._shared_S: Dict[str, int] = {}
+        for g in self.scn_groups:
+            self._shared_S[g.shared] = self._shared_S.get(g.shared, 0) + g.S
+        self._proj_w = {sv: float(np.sqrt(S + 1.0))
+                        for sv, S in self._shared_S.items()}
         Ac = BlockMatrix({(k, k): linop.scalar(
             sqrt_rho * self._proj_w.get(k, 1.0), n)
             for k, n in red_z_dims.items()})
@@ -411,10 +418,16 @@ class ProxADMMTwoBlockSolver(SolverBase):
                                 for k in self.all_dims})
         red = BlockVector({k: v for k, v in xu.items()
                            if k not in self._scn_keys})
+        # joint fold across ALL groups tied to each shared var:
+        # m = (w_z + sum_g tot_g) / (1 + sum_g S_g)
+        tots: Dict[str, object] = {}
         for g in self.scn_groups:
             W = xu[g.key].reshape(g.S // self.n_dev, g.d)
             tot = jax.lax.psum(jnp.sum(W, axis=0), self.axis_name)
-            red[g.shared] = (red[g.shared] + tot) / (g.S + 1.0)
+            tots[g.shared] = (tot if g.shared not in tots
+                              else tots[g.shared] + tot)
+        for sv, tot in tots.items():
+            red[sv] = (red[sv] + tot) / (self._shared_S[sv] + 1.0)
         if self.constr_prox is not None:
             scaled = BlockVector({
                 k: (self.sqrt_rho * self._proj_w.get(k, 1.0)) * v

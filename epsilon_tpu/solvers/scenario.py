@@ -18,6 +18,11 @@ substituted under ``vmap`` (reusing the constant-lifting machinery,
       =  project m = (sum_i w_xi + w_z)/(S+1) onto C with metric
          weight sqrt(S+1) on z, then broadcast x_i = z
 
+When SEVERAL groups (isomorphism families) tie to the SAME shared var, the
+joint substitution folds them all at once: m = (w_z + sum_g tot_g) /
+(1 + sum_g S_g) with metric weight sqrt(1 + sum_g S_g) (solver `_z_update`
+accumulates per-shared-var totals before dividing).
+
 (the exact Euclidean projection — substitute x_i = z and complete the
 square), with the cross-device sum a single ``psum`` riding ICI.
 
@@ -179,7 +184,10 @@ def detect_scenario_groups(problem: ProxProblem, term_ops, term_vars,
             continue
         (k1, op1), (k2, op2) = sorted(blocks.items())
         s1, s2 = _scalar_value(op1), _scalar_value(op2)
-        if s1 is None or s2 is None or not np.isclose(s1, -s2):
+        # reject zero coefficients: 0*x + (-0)*z = 0 passes isclose(s1,-s2)
+        # but is vacuous, not an identity tie
+        if (s1 is None or s2 is None or not np.isclose(s1, -s2)
+                or np.isclose(s1, 0.0)):
             continue
         v1, v2 = k1[1], k2[1]
         for pv, sv in ((v1, v2), (v2, v1)):

@@ -223,3 +223,103 @@ def test_no_stacking_when_indivisible(rng):
     assert sorted(i for b in solver.buckets for i in b) == list(range(7))
     sol = solver.solve()
     assert np.all(np.isfinite(np.asarray(sol["z"])))
+
+
+def make_two_family_consensus(rng, S1=4, S2=4, m1=12, m2=20, n=6, lam=0.3):
+    """TWO isomorphism families (different row counts m1 != m2 => different
+    jaxpr signatures => two ScenarioGroups) of SUM_SQUARE terms, ALL tied to
+    the one shared variable z.  Equivalent to lasso on the row-stacked
+    system.  Exercises the joint multi-group fold
+    m = (w_z + sum_g tot_g)/(1 + sum_g S_g) (advisor r4 high finding)."""
+    terms = []
+    cons = []
+    var_dims = {"z": n}
+    var_shapes = {"z": (n, 1)}
+    x_true = rng.randn(n) * (rng.rand(n) < 0.5)
+    As, bs = [], []
+    for fam, (S, m) in enumerate(((S1, m1), (S2, m2))):
+        for i in range(S):
+            A = rng.randn(m, n)
+            b = A @ x_true + 0.05 * rng.randn(m)
+            As.append(A)
+            bs.append(b)
+            xi = f"f{fam}x{i}"
+            terms.append(ProxTerm(
+                spec=ProxFunctionSpec(kind=ProxKind.SUM_SQUARE, alpha=0.5),
+                H=AffineOperator(
+                    BlockMatrix({(arg_key(0), xi): linop.dense(A)}),
+                    BlockVector({arg_key(0): np.asarray(-b)}))))
+            cons.append(ConeConstraint(
+                cone=Cone.ZERO,
+                op=AffineOperator(
+                    BlockMatrix({(f"t{fam}_{i}", xi): linop.identity(n),
+                                 (f"t{fam}_{i}", "z"): linop.scalar(-1.0, n)}),
+                    BlockVector())))
+            var_dims[xi] = n
+            var_shapes[xi] = (n, 1)
+    terms.append(ProxTerm(
+        spec=ProxFunctionSpec(kind=ProxKind.NORM_1, alpha=lam),
+        H=AffineOperator(
+            BlockMatrix({(arg_key(0), "z"): linop.identity(n)}),
+            BlockVector())))
+    prob = ProxProblem(terms=terms, constraints=cons,
+                       var_dims=var_dims, var_shapes=var_shapes)
+    return prob, np.vstack(As), np.concatenate(bs)
+
+
+def test_two_groups_one_shared_var_joint_fold(rng):
+    """Advisor r4 HIGH: two scenario groups on ONE shared var must fold
+    jointly — the sequential per-group fold silently converges to a wrong
+    point (repro'd at max |z_shd - z_seq| ~ 0.33 before the fix)."""
+    prob, A_all, b_all = make_two_family_consensus(rng)
+    lam = 0.3
+    seq = ProxADMMTwoBlockSolver(prob, SolverParams(**PARAMS))
+    x_seq = seq.solve()
+
+    shd = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), **PARAMS))
+    # both families must stack (two groups, same shared var)
+    assert len(shd.scn_groups) == 2
+    assert {g.shared for g in shd.scn_groups} == {"z"}
+    assert shd._proj_w["z"] == pytest.approx(np.sqrt(1.0 + 8.0))
+    x_shd = shd.solve()
+
+    np.testing.assert_allclose(np.asarray(x_shd["z"]), np.asarray(x_seq["z"]),
+                               rtol=1e-4, atol=1e-6)
+    for fam in (0, 1):
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(x_shd[f"f{fam}x{i}"]),
+                np.asarray(x_seq[f"f{fam}x{i}"]), rtol=1e-4, atol=1e-6)
+
+    x_o = lasso_oracle(A_all, b_all, lam)
+    obj = _lasso_objective(A_all, b_all, lam, np.asarray(x_shd["z"]))
+    obj_o = _lasso_objective(A_all, b_all, lam, x_o)
+    assert obj <= obj_o + 1e-3 * abs(obj_o) + 1e-5
+
+
+def test_vacuous_zero_tie_not_folded(rng):
+    """Advisor r4 low: a 0*x + (-0)*z = 0 constraint is vacuous, not an
+    identity tie — detection must never fold it as x = z consensus (folding
+    would impose a constraint the problem never had)."""
+    from epsilon_tpu.solvers import scenario
+
+    prob, _, _ = make_consensus_lasso(rng, S=8)
+    solver = ProxADMMTwoBlockSolver(
+        prob, SolverParams(mesh=term_mesh(4), **PARAMS))
+    # sanity: with real +-1 ties, all 8 fold
+    assert len({ci for g in solver.scn_groups for ci in g.tie_idx}) == 8
+
+    # replace one tie with a vacuous zero-coefficient constraint and rerun
+    # detection against the already-built term ops
+    n = prob.var_dims["z"]
+    prob.constraints[0] = ConeConstraint(
+        cone=Cone.ZERO,
+        op=AffineOperator(
+            BlockMatrix({("t0", "x0"): linop.scalar(0.0, n),
+                         ("t0", "z"): linop.scalar(-0.0, n)}),
+            BlockVector()))
+    groups, _stacked, tie_cons = scenario.detect_scenario_groups(
+        prob, solver.term_ops, solver.term_vars, 4, False, 1.0)
+    assert 0 not in tie_cons
+    assert all(0 not in g.tie_idx for g in groups)
