@@ -145,7 +145,14 @@ def constant(value, size: Optional[Tuple[int, int]] = None) -> Expression:
                           value=np.full(size, float(value)))
     if sp.issparse(value):
         return Expression(ExprType.CONSTANT, value.shape, value=value)
-    value = np.asarray(value, dtype=float)
+    # keep floating inputs in their own dtype: re-casting a GB-scale f32
+    # feature matrix to f64 copies it for no accuracy gain (every consumer
+    # casts to the solver dtype anyway)
+    if isinstance(value, np.ndarray) and np.issubdtype(value.dtype,
+                                                       np.floating):
+        value = np.asarray(value)
+    else:
+        value = np.asarray(value, dtype=float)
     if value.ndim == 0:
         return constant(float(value), size)
     if value.ndim == 1:

@@ -34,20 +34,24 @@ def logistic_loss(theta, X, y):
         api._wrap(-sp.diags([y], [0]) @ X) * theta))
 
 
-def one_hot(y, k):
+def one_hot(y, k, dtype=np.float64):
     y = np.asarray(y).ravel().astype(int)
     m = len(y)
     return np.asarray(sp.coo_matrix(
-        (np.ones(m), (np.arange(m), y)), shape=(m, k)).todense())
+        (np.ones(m, dtype=dtype), (np.arange(m), y)),
+        shape=(m, k)).todense())
 
 
 def softmax_loss(Theta, X, y):
     """Multinomial logistic loss (``functions.py:28-33``)."""
     k = Theta.n
-    Y = one_hot(y, k)
+    X = np.asarray(X)
+    # match the data dtype: a mixed f32 @ f64 product forces numpy to copy
+    # the (possibly GB-scale) feature matrix up to f64 before the gemm
+    Y = one_hot(y, k, dtype=X.dtype)
     XT = api._wrap(X)
     return (api.sum_entries(api.log_sum_exp(XT * Theta, axis=1))
-            - api.sum_entries(api.mul_elemwise(np.asarray(X).T @ Y, Theta)))
+            - api.sum_entries(api.mul_elemwise(X.T @ Y, Theta)))
 
 
 def multiclass_hinge_loss(Theta, X, y):

@@ -95,7 +95,20 @@ class _ConstLifter:
         self.args = None     # traced substitutes (apply mode)
 
     def device_args(self):
-        return [jnp.asarray(a) for a in self.arrays]
+        """Upload the collected constants.  Big 2-D arrays in the compute
+        dtype route through the factor-algebra operand cache: the data
+        matrix a solver lifts is usually the SAME buffer its KKT
+        factorization already pushed through the tunnel (a ~1 GB re-upload
+        at MNIST-RFF scale otherwise)."""
+        out = []
+        for a in self.arrays:
+            if (isinstance(a, np.ndarray) and a.ndim == 2
+                    and a.nbytes >= (1 << 20)
+                    and a.dtype == np.dtype(_dtype())):
+                out.append(_device_operand(a))
+            else:
+                out.append(jnp.asarray(a))
+        return out
 
 
 _LIFT_STACK: "list[_ConstLifter]" = []
@@ -410,17 +423,37 @@ class DiagonalOp(LinOp):
 
 
 class DenseOp(LinOp):
-    """Dense matrix (``dense_matrix_impl.{h,cc}``); matvec hits the MXU."""
+    """Dense matrix (``dense_matrix_impl.{h,cc}``); matvec hits the MXU.
 
-    def __init__(self, A: np.ndarray):
-        self.A = np.ascontiguousarray(np.asarray(A, dtype=_dtype()))
+    ``A`` may be a numpy array (classic host-backed operator) or a jax
+    device array (device-resident operator: factor-time algebra keeps big
+    Schur products / inverses on the accelerator instead of round-tripping
+    them through the host tunnel).  Transposes share the parent's buffer
+    (``_trans_of``): lifting uploads the base matrix ONCE and applies the
+    transpose inside the traced matmul (a free dot_general layout), instead
+    of uploading both F and F' at MNIST scale."""
+
+    def __init__(self, A):
+        if isinstance(A, jax.Array) and not isinstance(A, np.ndarray):
+            self.A = A if A.dtype == np.dtype(_dtype()) else A.astype(_dtype())
+            self._dev = True
+        else:
+            self.A = np.ascontiguousarray(np.asarray(A, dtype=_dtype()))
+            self._dev = False
         if self.A.ndim != 2:
             raise ValueError(f"dense operator must be 2-D, got {self.A.shape}")
-        self.shape = self.A.shape
+        self.shape = tuple(self.A.shape)
         self._jA = None
+        self._trans_of: "Optional[DenseOp]" = None
+
+    def _applied(self):
+        """Operand for traced application; transposed ops lift the base."""
+        if self._trans_of is not None:
+            return _to_device(self._trans_of.A).T
+        return _to_device(self.A)
 
     def _device_A(self):
-        return _cached_device(self, "_jA", lambda: _to_device(self.A))
+        return _cached_device(self, "_jA", self._applied)
 
     def matvec(self, x):
         return self._device_A() @ x
@@ -428,32 +461,56 @@ class DenseOp(LinOp):
     def matmat(self, X):
         return self._device_A() @ X
 
+    def _host_A(self) -> np.ndarray:
+        if self._dev:
+            if getattr(self, "_hA", None) is None:
+                self._hA = np.asarray(self.A)
+            return self._hA
+        return self.A
+
     def host_matvec(self, x):
-        return self.A @ np.asarray(x)
+        A = self._host_A()
+        return A @ np.asarray(x, dtype=A.dtype)
 
     def as_dense(self):
-        return self.A
+        return self._host_A()
 
     @property
     def T(self):
         # Cache the transpose (and link back) so repeated ``.T`` at TRACE
-        # time always yields the SAME underlying numpy buffer: constant
-        # lifting keys arrays by id(), and a fresh ascontiguousarray copy
-        # per call would miss the collect pass and embed the whole matrix
-        # as a jit constant (at MNIST-RFF scale, a ~1 GB HLO that breaks
-        # the remote-compile transport).
+        # time always yields the SAME underlying buffer: constant lifting
+        # keys arrays by id(), and a fresh copy per call would miss the
+        # collect pass and embed the whole matrix as a jit constant (at
+        # MNIST-RFF scale, a ~1 GB HLO that breaks the remote-compile
+        # transport).
         t = getattr(self, "_t_cache", None)
         if t is None:
-            t = DenseOp(self.A.T)
+            t = DenseOp.__new__(DenseOp)
+            t.A = self.A.T          # numpy: a view; jax: lazy until used
+            t._dev = self._dev
+            t.shape = (self.shape[1], self.shape[0])
+            t._jA = None
+            t._trans_of = self
             t._t_cache = self
             self._t_cache = t
         return t
+
+    def inverse(self):
+        if self.m != self.n:
+            raise ValueError(f"inverse of non-square operator {self.shape}")
+        flops = 2.0 * float(self.m) ** 3
+        if (self._dev or flops >= _DEVICE_GEMM_MIN_FLOPS) \
+                and _algebra_on_device() and not _LIFT_STACK:
+            dA = self.A if self._dev else _device_operand(self.A)
+            return DenseOp(_device_inverse(dA))
+        return super().inverse()
 
     def scale(self, alpha):
         return DenseOp(self.A * alpha)
 
     def __repr__(self):
-        return f"Dense{self.shape}"
+        kind = "DeviceDense" if self._dev else "Dense"
+        return f"{kind}{self.shape}"
 
 
 class SparseOp(LinOp):
@@ -868,22 +925,37 @@ def multiply(lhs: LinOp, rhs: LinOp) -> LinOp:
         return SparseOp(lhs.as_sparse() @ rhs.as_sparse())
 
     if isinstance(lhs, SparseOp) and isinstance(rhs, DenseOp):
+        if rhs._dev:
+            return DenseOp(jnp.asarray(lhs.as_dense(), rhs.A.dtype) @ rhs.A)
         return DenseOp(lhs.A @ rhs.A)
     if isinstance(lhs, DenseOp) and isinstance(rhs, SparseOp):
+        if lhs._dev:
+            return DenseOp(lhs.A @ jnp.asarray(rhs.as_dense(), lhs.A.dtype))
         return DenseOp((rhs.A.T @ lhs.A.T).T)
 
     if isinstance(lhs, DenseOp) and isinstance(rhs, DenseOp):
-        return DenseOp(_host_gemm(lhs.A, rhs.A))
-    return DenseOp(_host_gemm(lhs.as_dense(), rhs.as_dense()))
+        return DenseOp(_dense_product(lhs.A, rhs.A))
+    return DenseOp(_dense_product(lhs.as_dense(), rhs.as_dense()))
 
 
 # Large compile-time gemms (e.g. X'X Schur complements) run on the
 # accelerator instead of the (few-core) host when the flop count warrants
-# the transfer.  Uploaded operands are cached by identity: the same data
+# the transfer, and their results STAY on the accelerator (device-resident
+# DenseOp): a 60000x4000 factor block pulled back through the ~35 MB/s
+# axon tunnel costs ~30-70 s, and the solver only ever applies it on
+# device anyway.  Uploaded operands are cached by identity: the same data
 # matrix participates in several Schur products and the host<->device link
 # (axon tunnel) is the bottleneck, not the matmul.
 _DEVICE_GEMM_MIN_FLOPS = float(os.environ.get(
     "EPSILON_TPU_DEVICE_GEMM_MIN_FLOPS", "5e10"))
+# Testing hook: treat the CPU backend as a device so the device-resident
+# algebra paths are exercised by the (CPU-only) unit tests.
+_FORCE_DEVICE_ALGEBRA = bool(os.environ.get(
+    "EPSILON_TPU_FORCE_DEVICE_ALGEBRA", ""))
+
+
+def _algebra_on_device() -> bool:
+    return _FORCE_DEVICE_ALGEBRA or jax.default_backend() not in ("cpu",)
 # Byte-budgeted LRU (NOT a wholesale clear): re-uploading a 1 GB operand
 # through the ~30 MB/s axon tunnel costs ~30 s, and the Schur elimination
 # touches the same big matrix across dozens of products with many small
@@ -927,15 +999,16 @@ def _device_operand(A: np.ndarray):
     # array keeps its id() from being reused by a different matrix while
     # cached; base_key (None for real uploads) lets a view hit refresh the
     # LRU slot of the base buffer it actually pins.
-    key = (id(A), A.shape)
+    dt = _dtype()
+    key = (id(A), A.shape, np.dtype(dt))
     ent = _DEVICE_OPERAND_CACHE.get(key)
     if ent is None:
         # transposed views share the base buffer; upload the base once
         base = A.base if (A.base is not None and A.base.ndim == 2) else A
-        bkey = (id(base), base.shape)
+        bkey = (id(base), base.shape, np.dtype(dt))
         bent = _DEVICE_OPERAND_CACHE.get(bkey)
         if bent is None:
-            dbase = jnp.asarray(np.ascontiguousarray(base), dtype=jnp.float32)
+            dbase = jnp.asarray(np.ascontiguousarray(base), dtype=dt)
             _operand_cache_put(bkey, (dbase, base, None), base.nbytes)
         else:
             dbase = bent[0]
@@ -949,16 +1022,49 @@ def _device_operand(A: np.ndarray):
     return ent[0]
 
 
-def _host_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+def _dense_product(A, B):
+    """Eager dense product for operator algebra.  A/B are numpy arrays or
+    device (jax) arrays; big products run on the accelerator and the result
+    STAYS there (the caller wraps it in a device-resident DenseOp)."""
+    a_dev = isinstance(A, jax.Array) and not isinstance(A, np.ndarray)
+    b_dev = isinstance(B, jax.Array) and not isinstance(B, np.ndarray)
     flops = 2.0 * A.shape[0] * A.shape[1] * B.shape[1]
-    if flops >= _DEVICE_GEMM_MIN_FLOPS and not _LIFT_STACK:
-        try:
-            if jax.default_backend() not in ("cpu",):
-                out = _device_operand(A) @ _device_operand(B)
-                return np.asarray(jax.block_until_ready(out)).astype(A.dtype)
-        except Exception:
-            pass
+    if ((a_dev or b_dev or flops >= _DEVICE_GEMM_MIN_FLOPS)
+            and _algebra_on_device() and not _LIFT_STACK):
+        da = A if a_dev else _device_operand(A)
+        db = B if b_dev else _device_operand(B)
+        if da.dtype != db.dtype:  # mixed f32/f64 operands: compute in wider
+            wide = jnp.promote_types(da.dtype, db.dtype)
+            da, db = da.astype(wide), db.astype(wide)
+        return jax.block_until_ready(da @ db)
+    if a_dev or b_dev:  # pragma: no cover - defensive
+        A, B = np.asarray(A), np.asarray(B)
+    if A.dtype != B.dtype:
+        wide = np.promote_types(A.dtype, B.dtype)
+        A, B = A.astype(wide), B.astype(wide)
     return A @ B
+
+
+def _device_inverse(dA):
+    """Explicit inverse computed ON the accelerator (f32 LU + two Newton
+    refinement sweeps at the configured matmul precision, pushing the
+    relative error to ~cond(A)*1e-7): the TPU-side replacement for the
+    reference's Eigen LDLT factor (``lapack.h:5-13``) that avoids pulling
+    an n^2 Schur complement through the host tunnel."""
+    n = dA.shape[0]
+
+    @jax.jit
+    def inv_refined(M):
+        # eye is created INSIDE the trace: a captured device array would be
+        # embedded as an HLO constant, which downloads it through the host
+        # tunnel at lowering time (measured 159 s at n=4000 on axon)
+        eye = jnp.eye(n, dtype=M.dtype)
+        X = jnp.linalg.inv(M)
+        for _ in range(2):
+            X = X + X @ (eye - M @ X)
+        return X
+
+    return jax.block_until_ready(inv_refined(dA))
 
 
 def add(lhs: LinOp, rhs: LinOp) -> LinOp:
@@ -990,6 +1096,20 @@ def add(lhs: LinOp, rhs: LinOp) -> LinOp:
 
     if _sparse_like(lhs) and _sparse_like(rhs):
         return SparseOp(lhs.as_sparse() + rhs.as_sparse())
+
+    # device-resident dense adds stay on device (structured other operands
+    # materialize their contribution device-side instead of downloading A)
+    for a, b in ((lhs, rhs), (rhs, lhs)):
+        if isinstance(a, DenseOp) and a._dev:
+            sv = b.scalar_value()
+            if sv is not None:
+                return DenseOp(a.A + sv * jnp.eye(a.m, dtype=a.A.dtype))
+            dv = b.diag_value()
+            if dv is not None:
+                return DenseOp(a.A + jnp.diag(jnp.asarray(dv, a.A.dtype)))
+            if isinstance(b, DenseOp) and b._dev:
+                return DenseOp(a.A + b.A)
+            return DenseOp(a.A + jnp.asarray(b.as_dense(), a.A.dtype))
 
     return DenseOp(lhs.as_dense() + rhs.as_dense())
 

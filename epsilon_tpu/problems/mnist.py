@@ -8,25 +8,33 @@ matches the reference benchmark.
 import numpy as np
 
 import epsilon_tpu as ep
+from epsilon_tpu import config
 
 
 def _synthetic_digits(m, dim=50, k=10, seed=0):
     rng = np.random.RandomState(seed)
-    centers = rng.randn(k, dim) * 2
+    dtype = config.default_np_dtype()
+    centers = rng.randn(k, dim).astype(dtype) * 2
     y = rng.randint(0, k, m)
-    X = centers[y] + rng.randn(m, dim)
+    X = centers[y] + rng.randn(m, dim).astype(dtype)
     return X, y
 
 
 def kitchen_sink_features(X, n, sigma=None, seed=1):
-    """Random Fourier features for the RBF kernel (``mnist.py:46-54``)."""
+    """Random Fourier features for the RBF kernel (``mnist.py:46-54``).
+
+    Computed in the solver dtype (f32 on TPU): at reference scale the
+    60000x4000 feature matrix is 960 MB in f32 vs 1.92 GB in f64, and the
+    f64 host cos/gemm alone costs ~45 s on a 2-core host."""
     rng = np.random.RandomState(seed)
+    dtype = config.default_np_dtype()
     d = X.shape[1]
     if sigma is None:
         sigma = np.sqrt(d)
-    W = rng.randn(d, n) / sigma
-    b = rng.uniform(0, 2 * np.pi, n)
-    return np.sqrt(2.0 / n) * np.cos(X.dot(W) + b)
+    W = (rng.randn(d, n) / sigma).astype(dtype)
+    b = rng.uniform(0, 2 * np.pi, n).astype(dtype)
+    scale = np.asarray(np.sqrt(2.0 / n), dtype=dtype)
+    return scale * np.cos(np.asarray(X, dtype=dtype).dot(W) + b)
 
 def create(m=200, n=100, k=10, lam=0.1):
     X, y = _synthetic_digits(m, k=k)
