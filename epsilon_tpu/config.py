@@ -86,6 +86,15 @@ def strict_lifting() -> bool:
     return os.environ.get("EPSILON_TPU_STRICT_LIFTING", "0") == "1"
 
 
+def bucket_heaps_enabled() -> bool:
+    """Memory-shard the heterogeneous term-bucket path: pack each bucket's
+    lifted constants into per-device heap rows sharded along the term mesh
+    (each device holds only its bucket's problem data at rest) instead of
+    replicating every term's data on every device.  Default on; disable
+    with EPSILON_TPU_BUCKET_HEAPS=0 to fall back to replicated constants."""
+    return os.environ.get("EPSILON_TPU_BUCKET_HEAPS", "1") != "0"
+
+
 def tv_warn_enabled() -> bool:
     """Emit a host-side warning (jax.debug.print) when an iteratively-
     certified prox kernel exits without meeting its gap tolerance.  Default

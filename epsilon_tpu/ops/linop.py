@@ -178,6 +178,16 @@ def _to_device(host_array):
                 "constant lifting: apply-mode _to_device of an array not "
                 f"seen during collect (shape={a.shape}, dtype={a.dtype}); "
                 "an operator is creating fresh host buffers at trace time")
+        return jnp.asarray(host_array)
+    # Outside any lift context (eager paths: objective evaluation,
+    # compile-time probes), big matrices go through the SAME operand cache
+    # the factor algebra and lifted constants use — an eager objective
+    # evaluation must not re-upload a GB-scale data matrix the solve
+    # already pushed through the tunnel.
+    if (isinstance(host_array, np.ndarray) and host_array.ndim == 2
+            and host_array.nbytes >= (1 << 20)
+            and host_array.dtype == np.dtype(_dtype())):
+        return _device_operand(host_array)
     return jnp.asarray(host_array)
 
 

@@ -251,6 +251,35 @@ class VectorProxOperator(ProxOperator):
             x = x + self.D.apply(v)
         return x
 
+    # -- warm-startable (stateful) kernels ---------------------------------
+    def kernel_state_init(self):
+        """Cold state for kernels that warm-start across ADMM sweeps
+        (TV-1D: the PDAS dual), or None when this operator's mode cannot
+        thread state (epigraph / diagonal metric / axis batching / multi-
+        arg use the stateless kernel)."""
+        if (self.entry.stateful_prox is None or self.spec.epigraph
+                or self.elementwise or self.spec.axis is not None
+                or self.n_args != 1):
+            return None
+        return self.entry.state_init(self.arg_dims[0],
+                                     config.default_dtype())
+
+    def apply_stateful(self, v: BlockVector, kstate, rho=None):
+        """Like :meth:`apply` but threading the kernel's warm state;
+        returns ``(x, new_state)``.  Only valid when
+        :meth:`kernel_state_init` returned non-None."""
+        g = self.g.to_device()
+        u = self.B.apply(v) + g
+        vals = self._kernel_args(u)
+        lam = self.lam if rho is None else self.lam / rho
+        x_k, st = self.entry.stateful_prox(vals[0], lam, kstate,
+                                           **self._params())
+        y = BlockVector({arg_key(0): x_k})
+        x = self.C.apply(y - g)
+        if self.D is not None:
+            x = x + self.D.apply(v)
+        return x, st
+
     def feval(self, u: BlockVector):
         vals = self._kernel_args(u)
         p = self._params()

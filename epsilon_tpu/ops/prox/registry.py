@@ -39,6 +39,11 @@ class KernelEntry:
     # epigraph t is per-coordinate (same size as x), not a scalar bound —
     # EXP's vectorized per-element Newton (exp.cc:12-77)
     elementwise_epi: bool = False
+    # iteratively-solved kernels that benefit from warm starts across ADMM
+    # sweeps: ``stateful_prox(v, lam, state, **p) -> (x, state)`` with
+    # ``state_init(dim, dtype)`` the cold start (TV-1D: the PDAS dual)
+    stateful_prox: Optional[Callable] = None
+    state_init: Optional[Callable] = None
 
 
 def _scaled_zone_entry(defaults):
@@ -173,7 +178,10 @@ KERNELS: Dict[ProxKind, KernelEntry] = {
         feval=lambda x, **p: vec.eval_log_sum_exp(x)),
     ProxKind.TOTAL_VARIATION_1D: KernelEntry(
         prox=lambda v, lam, **p: tv1d.prox_tv1d_registry(v, lam),
-        feval=lambda x, **p: tv1d.eval_tv1d(x)),
+        feval=lambda x, **p: tv1d.eval_tv1d(x),
+        stateful_prox=lambda v, lam, st, **p:
+            tv1d.prox_tv1d_registry_warm(v, lam, st),
+        state_init=tv1d.tv1d_state_init),
     # matrix family ------------------------------------------------------
     ProxKind.SEMIDEFINITE: KernelEntry(
         prox=lambda V, lam, **p: mx.prox_semidefinite(V, lam),

@@ -289,7 +289,8 @@ def pcr_tridiag_solve(a, b, c, d):
     return d / b
 
 
-def prox_tv1d_pdas(v, lam, tol=None, max_iters: int = 40, z0=None):
+def prox_tv1d_pdas(v, lam, tol=None, max_iters: int = 40, z0=None,
+                   return_dual: bool = False):
     """Exact-convergent TV prox via primal-dual active set (semismooth
     Newton) on the dual box-QP
 
@@ -313,7 +314,8 @@ def prox_tv1d_pdas(v, lam, tol=None, max_iters: int = 40, z0=None):
     lamd = jnp.asarray(lam, dt)
     n = v.shape[-1]
     if n <= 1:   # no differences: prox is the identity
-        return v, jnp.zeros((), dt), jnp.zeros((), jnp.int32)
+        out = (v, jnp.zeros((), dt), jnp.zeros((), jnp.int32))
+        return out + (jnp.zeros((0,), dt),) if return_dual else out
     dv = _diff(v)
     m = n - 1
     if tol is None:
@@ -327,6 +329,10 @@ def prox_tv1d_pdas(v, lam, tol=None, max_iters: int = 40, z0=None):
     gap_tol = tv_gap_tol(v, tol)
     if z0 is None:
         z0 = jnp.zeros((m,), dt)
+    else:
+        # warm duals may come from a different lam (adaptive rho): project
+        # into the current box so the first indicator reads feasible z
+        z0 = jnp.clip(jnp.asarray(z0, dt), -lamd, lamd)
 
     def qmul(z):
         return _diff(_diff_t(z))        # D D^T z (tridiag [-1, 2, -1])
@@ -392,6 +398,8 @@ def prox_tv1d_pdas(v, lam, tol=None, max_iters: int = 40, z0=None):
                      gap0))
     z = jnp.clip(z, -lamd, lamd)
     x, gap = tv1d_gap(v, lamd, z)
+    if return_dual:
+        return x, gap, iters, z
     return x, gap, iters
 
 
@@ -459,6 +467,25 @@ def prox_tv1d_registry(v, lam):
         jax.lax.cond(gap > gtol, _warn, lambda g, t, i: None,
                      gap, gtol, iters)
     return x
+
+
+def tv1d_state_init(dim, dtype):
+    """Initial PDAS dual for the stateful kernel: z = 0 (cold)."""
+    return jnp.zeros((max(dim - 1, 0),), dtype)
+
+
+def prox_tv1d_registry_warm(v, lam, z_prev):
+    """Stateful registry kernel: PDAS warm-started from the previous ADMM
+    iteration's dual.  Across consecutive ADMM sweeps the prox input moves
+    O(step), so the optimal active set is usually UNCHANGED — warm PDAS
+    certifies in 1-3 rounds vs 8-16 cold (the inner-loop analogue of the
+    reference reusing glmgen's workspace, ``total_variation_1d.cc:6-25``).
+    Returns ``(x, z)`` with ``z`` fed back on the next sweep."""
+    from ... import config
+    tol = config.prox_inner_tol()
+    x, _gap, _iters, z = prox_tv1d_pdas(v, lam, tol=tol, z0=z_prev,
+                                        return_dual=True)
+    return x, z
 
 
 def eval_tv1d(x):

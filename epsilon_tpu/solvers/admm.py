@@ -305,8 +305,39 @@ class ProxADMMTwoBlockSolver(SolverBase):
 
         self._scn_args = self._make_scn_args()
         self._scn_traced = None
+        self._heap_traced = None
+
+        # Warm-startable kernel state (TV-1D PDAS duals): threaded through
+        # the loop state on the unmeshed path only (bucket lax.switch
+        # branches could not keep per-term states replicated-consistent).
+        self._kstate0 = None
+        if self.mesh is None:
+            ks = [op.kernel_state_init()
+                  if hasattr(op, "kernel_state_init") else None
+                  for op in self.term_ops]
+            if any(k is not None for k in ks):
+                self._kstate0 = tuple(ks)
+
         self._t_init = time.time() - t0
         self._compiled = None
+
+    def _unpack_state(self, state):
+        """(z, u, rho_or_None, kstates_or_None) from the packed loop state."""
+        i = 2
+        rho = None
+        if self.adaptive:
+            rho = state[i]
+            i += 1
+        ks = state[i] if self._kstate0 is not None else None
+        return state[0], state[1], rho, ks
+
+    def _pack_state(self, z, u, rho, ks):
+        out = (z, u)
+        if self.adaptive:
+            out = out + (rho,)
+        if self._kstate0 is not None:
+            out = out + (ks,)
+        return out
 
     def _make_scn_args(self):
         """Per-group stacked device constants, placed SHARDED along the mesh
@@ -368,16 +399,17 @@ class ProxADMMTwoBlockSolver(SolverBase):
                 scenario.refresh_group(g, self.term_ops, self.adaptive,
                                        self.sqrt_rho)
             self._scn_args = self._make_scn_args()
+        # bucket heaps index the OLD ops' buffers by id: rebuild them (the
+        # layout is structure-deterministic, so the compiled run's heap
+        # pytree keeps its shape and only the data refreshes)
+        self._bucket_lifters = None
 
     # -- iteration bodies (traceable) --------------------------------------
     def _iter_body(self, state):
-        if self.adaptive:
-            z, u, rho = state
-        else:
-            z, u = state
-            rho = None
+        z, u, rho, ks = self._unpack_state(state)
         zu = z - u
         x = _zeros(self.all_dims)
+        new_ks = ks
         if self.mesh is not None:
             if self.buckets is not None:
                 x = x + self._sharded_x_update(zu, rho)
@@ -389,19 +421,28 @@ class ProxADMMTwoBlockSolver(SolverBase):
                     c_i, z_i, rho, self.adaptive, self.sqrt_rho)
                 x[g.key] = jnp.reshape(jax.vmap(fn)(consts, Z), (-1,))
         else:
-            for op in self.term_ops:
-                if self.adaptive:
+            ks_out = []
+            for i, op in enumerate(self.term_ops):
+                k_i = ks[i] if ks is not None else None
+                if k_i is not None:
+                    # warm-startable kernel: thread its state (TV PDAS dual)
+                    if self.adaptive:
+                        xi, k_i = op.apply_stateful(zu, k_i, rho=rho)
+                    else:
+                        xi, k_i = op.apply_stateful(self.sqrt_rho * zu, k_i)
+                    x = x + xi
+                elif self.adaptive:
                     x = x + op.apply_rho(zu, rho)
                 else:
                     x = x + op.apply(self.sqrt_rho * zu)
+                ks_out.append(k_i)
+            new_ks = tuple(ks_out) if ks is not None else None
         alpha = self.params.over_relaxation
         x_hat = x if alpha == 1.0 else alpha * x + (1.0 - alpha) * z
         xu = x_hat + u
         z_new = self._z_update(xu)
         u_new = u + x_hat - z_new
-        new_state = ((z_new, u_new, rho) if self.adaptive
-                     else (z_new, u_new))
-        return new_state, x
+        return self._pack_state(z_new, u_new, rho, new_ks), x
 
     def _z_update(self, xu):
         """Projection onto the constraint set.  With scenario groups, the
@@ -442,11 +483,87 @@ class ProxADMMTwoBlockSolver(SolverBase):
                 red[g.shared], (g.S // self.n_dev, g.d)), (-1,))
         return z_new
 
+    def _bucket_branch(self, bucket):
+        """x-update body over one device bucket's terms (flat-packed)."""
+        dims = {k: n for k, n in self.all_dims.items()
+                if k not in self._scn_keys}
+        keys = sorted(dims)
+
+        def branch(zu, rho):
+            x = _zeros(dims)
+            for ti in bucket:
+                op = self.term_ops[ti]
+                if self.adaptive:
+                    x = x + op.apply_rho(zu, rho)
+                else:
+                    x = x + op.apply(self.sqrt_rho * zu)
+            flat, _ = x.pack(keys)
+            return flat
+        return branch
+
+    def _setup_bucket_heaps(self):
+        """Memory-shard the heterogeneous bucket path: collect each
+        bucket's frozen constants separately and pack them into per-dtype
+        (n_dev, L) heaps placed SHARDED along the mesh axis — each device
+        holds only ITS bucket's problem data (realizing the consensus
+        memory model of ``solver_params.proto:42-56`` for arbitrary mixed-
+        kernel terms, not just isomorphic scenario stacks).  Inside the
+        epoch, branch j unpacks its lifted arrays from the device-local
+        heap row by static (dtype, offset, shape) layout."""
+        if (self.buckets is None or not config.bucket_heaps_enabled()
+                or getattr(self, "_bucket_lifters", None) is not None):
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dtype = config.default_dtype()
+        dims = {k: n for k, n in self.all_dims.items()
+                if k not in self._scn_keys}
+        zu_aval = BlockVector({k: jax.ShapeDtypeStruct((n,), dtype)
+                               for k, n in dims.items()})
+        rho_aval = (jax.ShapeDtypeStruct((), dtype) if self.adaptive
+                    else None)
+        lifters, layouts, sizes = [], [], []
+        for bucket in self.buckets:
+            with lift_collect() as lf:
+                jax.eval_shape(self._bucket_branch(bucket), zu_aval, rho_aval)
+            lay = []
+            cur: Dict = {}
+            for a in lf.arrays:
+                ah = np.asarray(a)
+                dt = np.dtype(ah.dtype)
+                off = cur.get(dt, 0)
+                lay.append((dt, off, ah.shape))
+                cur[dt] = off + ah.size
+            lifters.append(lf)
+            layouts.append(lay)
+            sizes.append(cur)
+        dts = sorted({dt for s in sizes for dt in s}, key=str)
+        sh = NamedSharding(self.mesh, P(self.axis_name, None))
+        heap_args = {}
+        for dt in dts:
+            L = max(max(s.get(dt, 0) for s in sizes), 1)
+            H = np.zeros((self.n_dev, L), dt)
+            for j, (lf, lay) in enumerate(zip(lifters, layouts)):
+                for a, (adt, off, shp) in zip(lf.arrays, lay):
+                    if adt == dt:
+                        ah = np.asarray(a)
+                        H[j, off:off + ah.size] = ah.ravel()
+            heap_args[str(dt)] = jax.device_put(H, sh)
+        self._bucket_lifters = lifters
+        self._bucket_layouts = layouts
+        self._heap_args = heap_args
+
+    def _heap_specs(self):
+        from jax.sharding import PartitionSpec as P
+        return {k: P(self.axis_name, None)
+                for k in getattr(self, "_heap_args", {})}
+
     def _sharded_x_update(self, zu, rho):
         """x-update under shard_map: each device runs its term bucket
         (lax.switch on the device index) and a psum over the mesh axis
         combines the per-variable contributions — the heterogeneous-term
-        analogue of the consensus solver's scenario sharding."""
+        analogue of the consensus solver's scenario sharding.  With bucket
+        heaps active, each branch rebinds its lifted constants to slices of
+        the device-local heap row, so term data is sharded at rest."""
         dims = {k: n for k, n in self.all_dims.items()
                 if k not in self._scn_keys}
         keys = sorted(dims)
@@ -456,21 +573,28 @@ class ProxADMMTwoBlockSolver(SolverBase):
             offs[k] = acc
             acc += dims[k]
 
-        def make_branch(bucket):
-            def branch(zu):
-                x = _zeros(dims)
-                for ti in bucket:
-                    op = self.term_ops[ti]
-                    if self.adaptive:
-                        x = x + op.apply_rho(zu, rho)
-                    else:
-                        x = x + op.apply(self.sqrt_rho * zu)
-                flat, _ = x.pack(keys)
-                return flat
-            return branch
+        heaps = getattr(self, "_heap_traced", None)
+
+        def make_branch(j, bucket):
+            base = self._bucket_branch(bucket)
+            if heaps is None:
+                return lambda zu: base(zu, rho)
+            lf = self._bucket_lifters[j]
+            lay = self._bucket_layouts[j]
+
+            def fn(zu):
+                args = []
+                for (dt, off, shp) in lay:
+                    row = heaps[str(np.dtype(dt))][0]
+                    size = int(np.prod(shp)) if shp else 1
+                    args.append(jnp.reshape(row[off:off + size], shp))
+                with lift_apply(lf, args):
+                    return base(zu, rho)
+            return fn
 
         idx = jax.lax.axis_index(self.axis_name)
-        flat = jax.lax.switch(idx, [make_branch(b) for b in self.buckets], zu)
+        flat = jax.lax.switch(
+            idx, [make_branch(j, b) for j, b in enumerate(self.buckets)], zu)
         flat = jax.lax.psum(flat, self.axis_name)
         return BlockVector.unpack(flat, offs, dims)
 
@@ -489,10 +613,8 @@ class ProxADMMTwoBlockSolver(SolverBase):
         return rep + loc
 
     def _residuals(self, state, x, z_prev):
-        if self.adaptive:
-            z, u, rho = state
-        else:
-            z, u = state
+        z, u, rho, _ks = self._unpack_state(state)
+        if rho is None:
             rho = self.params.rho
         abs_tol, rel_tol = self.params.abs_tol, self.params.rel_tol
         sqrt_n = float(np.sqrt(max(self.n, 1)))
@@ -530,13 +652,13 @@ class ProxADMMTwoBlockSolver(SolverBase):
         if self.adaptive:
             # residual balancing: keep ||r|| and ||s|| within a factor mu,
             # rescaling the scaled dual u when rho changes (Boyd 3.4.1)
-            z, u, rho = state
+            z, u, rho, ks = self._unpack_state(state)
             mu, tau = self.params.rho_mu, self.params.rho_tau
             grow = res[0] > mu * res[1]
             shrink = res[1] > mu * res[0]
             factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau, 1.0))
             factor = factor.astype(rho.dtype)
-            state = (z, (1.0 / factor) * u, rho * factor)
+            state = self._pack_state(z, (1.0 / factor) * u, rho * factor, ks)
         return state, x, res, conv
 
     def _init_state(self):
@@ -544,10 +666,9 @@ class ProxADMMTwoBlockSolver(SolverBase):
             return self._warm_state
         z = _zeros(self.state_dims)
         u = _zeros(self.state_dims)
-        if self.adaptive:
-            rho = jnp.asarray(self.params.rho, dtype=config.default_dtype())
-            return (z, u, rho)
-        return (z, u)
+        rho = (jnp.asarray(self.params.rho, dtype=config.default_dtype())
+               if self.adaptive else None)
+        return self._pack_state(z, u, rho, self._kstate0)
 
     def _migrate_warm_state(self, old_state, old_rho, old_adaptive):
         if old_state is None or old_adaptive != self.adaptive:
@@ -556,12 +677,15 @@ class ProxADMMTwoBlockSolver(SolverBase):
         if set(z.keys()) != set(self.state_dims) or any(
                 z[k].shape != (n,) for k, n in self.state_dims.items()):
             return None  # state layout changed (e.g. scenario stacking)
-        if self.adaptive:
-            return old_state  # rho lives in the state itself
-        # u is the scaled dual lambda/rho: preserve lambda across the rho
-        # change (Boyd 3.4.1 rescaling)
-        z, u = old_state
-        return (z, (old_rho / self._init_rho) * u)
+        u = old_state[1]
+        rho = old_state[2] if self.adaptive else None
+        if not self.adaptive:
+            # u is the scaled dual lambda/rho: preserve lambda across the
+            # rho change (Boyd 3.4.1 rescaling)
+            u = (old_rho / self._init_rho) * u
+        # kernel warm state restarts cold across a rebuild (the metric the
+        # duals live in changed)
+        return self._pack_state(z, u, rho, self._kstate0)
 
     # -- scenario-stacking plumbing -----------------------------------------
     def _bv_spec(self):
@@ -582,23 +706,30 @@ class ProxADMMTwoBlockSolver(SolverBase):
     def _lift_constants(self, state):
         """Two-block override of the base collection trace: the epoch runs
         under shard_map with the stacked-state/stacked-data specs and
-        ``_scn_traced`` bound, so scenario data flows through its per-group
-        inner ``lift_apply`` contexts (sharded at rest via ``_scn_args``)
-        while everything else lands in the outer epoch lifter."""
+        ``_scn_traced``/``_heap_traced`` bound, so scenario data and bucket
+        heaps flow through their per-group/per-bucket inner ``lift_apply``
+        contexts (sharded at rest) while everything else lands in the outer
+        epoch lifter."""
         from jax.sharding import PartitionSpec as P
 
-        def f(state, stacked):
+        self._setup_bucket_heaps()
+
+        def f(state, stacked, heaps):
             self._scn_traced = stacked
+            self._heap_traced = heaps or None
             try:
                 return self._epoch(state)
             finally:
                 self._scn_traced = None
+                self._heap_traced = None
 
         fn = self._shard_wrap(
-            f, in_specs=(self._state_spec(), self._scn_specs()),
+            f, in_specs=(self._state_spec(), self._scn_specs(),
+                         self._heap_specs()),
             out_specs=(self._state_spec(), self._bv_spec(), P(), P()))
         with lift_collect() as lifter:
-            jax.eval_shape(fn, state, self._scn_args)
+            jax.eval_shape(fn, state, self._scn_args,
+                           getattr(self, "_heap_args", {}))
         return lifter, lifter.device_args()
 
     def _unstack_x(self, x: BlockVector) -> BlockVector:
@@ -644,8 +775,9 @@ class ProxADMMTwoBlockSolver(SolverBase):
             if self._compiled is None:
                 lifter, const_args = self._lift_constants(state)
 
-                def run(state, stacked, consts, start_it):
+                def run(state, stacked, heaps, consts, start_it):
                     self._scn_traced = stacked
+                    self._heap_traced = heaps or None
                     try:
                         with lift_apply(lifter, consts):
                             def cond(carry):
@@ -675,10 +807,12 @@ class ProxADMMTwoBlockSolver(SolverBase):
                             return jax.lax.while_loop(cond, body, carry)
                     finally:
                         self._scn_traced = None
+                        self._heap_traced = None
 
                 run = jax.jit(self._shard_wrap(
                     run,
                     in_specs=(self._state_spec(), self._scn_specs(),
+                              self._heap_specs(),
                               [P()] * len(const_args), P()),
                     out_specs=(self._state_spec(), self._bv_spec(),
                                P(), P(), P(), P())))
@@ -686,7 +820,8 @@ class ProxADMMTwoBlockSolver(SolverBase):
             run, const_args = self._compiled
             state, start_iters = self._resume_state(state)
             state, x, iters, res, conv, series_buf = run(
-                state, self._scn_args, const_args, jnp.asarray(start_iters))
+                state, self._scn_args, getattr(self, "_heap_args", {}),
+                const_args, jnp.asarray(start_iters))
             x = jax.block_until_ready(x)
             iters = int(iters)
             self.status.series = _series_from_buffer(
@@ -696,22 +831,26 @@ class ProxADMMTwoBlockSolver(SolverBase):
         else:
             lifter, const_args = self._lift_constants(state)
 
-            def _epoch_raw(state, stacked, consts):
+            def _epoch_raw(state, stacked, heaps, consts):
                 self._scn_traced = stacked
+                self._heap_traced = heaps or None
                 try:
                     with lift_apply(lifter, consts):
                         return self._epoch(state)
                 finally:
                     self._scn_traced = None
+                    self._heap_traced = None
 
             _epoch_jit = jax.jit(self._shard_wrap(
                 _epoch_raw,
                 in_specs=(self._state_spec(), self._scn_specs(),
+                          self._heap_specs(),
                           [P()] * len(const_args)),
                 out_specs=(self._state_spec(), self._bv_spec(), P(), P())))
 
             def epoch_fn(state, _consts=const_args):
-                return _epoch_jit(state, self._scn_args, _consts)
+                return _epoch_jit(state, self._scn_args,
+                                  getattr(self, "_heap_args", {}), _consts)
             state, iters = self._resume_state(state)
             conv = False
             x = res = None
