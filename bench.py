@@ -184,39 +184,65 @@ def row_sparse_logreg(reps=3):
 # 196.57 s CPU solve at 30 iters)
 # ---------------------------------------------------------------------------
 
-def row_mnist_rff():
-    import epsilon_tpu as ep
-    from epsilon_tpu.problems import mnist
+_MNIST_CHILD = r'''
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+import numpy as np
+from epsilon_tpu.problems import mnist
+np.random.seed(0)
+t0 = time.time()
+prob = mnist.create(m=60000, n=4000, k=10, lam=0.1)
+t_build = time.time() - t0
+t0 = time.time()
+obj = prob.solve(rel_tol=1e-3, abs_tol=1e-6, max_iterations=1000,
+                 epoch_iterations=10, drive="host")
+t_solve = time.time() - t0
+st = prob.solver_status
+print("MNIST_ROW " + json.dumps(dict(
+    build_s=round(t_build, 2), solve_s=round(t_solve, 2),
+    iterations=st.num_iterations, status=prob.status,
+    objective=float(obj))), flush=True)
+'''
 
-    np.random.seed(0)
-    t0 = time.time()
-    prob = mnist.create(m=60000, n=4000, k=10, lam=0.1)
-    t_build = time.time() - t0
-    # host drive: per-epoch programs compile in pieces small enough for the
-    # remote-compile tunnel (the single whole-solve program's compile gets
-    # its transport dropped); retry once on a transient drop
-    t0 = time.time()
-    for attempt in range(2):
+
+def row_mnist_rff(attempts=3, timeout_s=840):
+    """MNIST-RFF at reference scale, run in a CHILD process under a hard
+    timeout: the axon remote-compile/transfer transport intermittently
+    hangs (not errors) mid-solve, so an in-process retry loop can never
+    fire — the watchdog kills and retries instead.  Features are generated
+    on-device (``mnist.create device_features``), so only ~13 MB crosses
+    the host link."""
+    import subprocess
+    script = _MNIST_CHILD % {"repo": os.path.dirname(os.path.abspath(__file__))}
+    last_err = "unknown"
+    for attempt in range(attempts):
         try:
-            obj = prob.solve(rel_tol=1e-3, abs_tol=1e-6, max_iterations=1000,
-                             epoch_iterations=10, drive="host")
-            break
-        except Exception:
-            if attempt == 1:
-                raise
-    t_solve = time.time() - t0
-    st = prob.solver_status
-    return {
-        "metric": "mnist_rff_60000x4000_solve",
-        "value": round(t_solve, 2),
-        "unit": "s",
-        # reference CPU solve: 196.57 s (docs/notebooks/mnist.rst:238-243)
-        "vs_baseline": round(196.57 / t_solve, 2),
-        "iterations": st.num_iterations,
-        "status": prob.status,
-        "objective": float(obj),
-        "build_s": round(t_build, 2),
-    }
+            out = subprocess.run(
+                [sys.executable, "-c", script], capture_output=True,
+                text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout_s}s (attempt {attempt})"
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("MNIST_ROW "):
+                d = json.loads(line[len("MNIST_ROW "):])
+                return {
+                    "metric": "mnist_rff_60000x4000_solve",
+                    "value": d["solve_s"],
+                    "unit": "s",
+                    # reference CPU solve: 196.57 s
+                    # (docs/notebooks/mnist.rst:238-243)
+                    "vs_baseline": round(196.57 / d["solve_s"], 2),
+                    "iterations": d["iterations"],
+                    "status": d["status"],
+                    "objective": d["objective"],
+                    "build_s": d["build_s"],
+                    "attempt": attempt,
+                }
+        last_err = (out.stderr or out.stdout or "no output")[-400:]
+    return {"metric": "mnist_rff_60000x4000_solve", "error": last_err}
 
 
 # ---------------------------------------------------------------------------

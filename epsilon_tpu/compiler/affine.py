@@ -218,7 +218,7 @@ def _const_as_linop(e: Expression, m: int) -> linop.LinOp:
         v = e.attr["value"]
         if sp.issparse(v):
             return linop.sparse(v)
-        return linop.dense(np.asarray(v))
+        return linop.dense(v)   # device constants stay device-resident
     if e.expr_type == ExprType.TRANSPOSE:
         return _const_as_linop(e.args[0], m).T
     # general constant: evaluate

@@ -72,6 +72,17 @@ def _sign_of_constant(e: Expression) -> Sign:
     if val is None:
         return Sign.UNKNOWN
     try:
+        import jax
+        if isinstance(val, jax.Array):
+            # device-resident constant: min/max reduce ON device (two
+            # scalars cross the tunnel, not the matrix)
+            import jax.numpy as jnp
+            lo, hi = float(jnp.min(val)), float(jnp.max(val))
+            if lo >= 0:
+                return Sign.POSITIVE if hi > 0 else Sign.ZERO
+            if hi <= 0:
+                return Sign.NEGATIVE
+            return Sign.UNKNOWN
         import scipy.sparse as sp
         arr = val.toarray() if sp.issparse(val) else np.asarray(val)
     except Exception:

@@ -145,6 +145,16 @@ def constant(value, size: Optional[Tuple[int, int]] = None) -> Expression:
                           value=np.full(size, float(value)))
     if sp.issparse(value):
         return Expression(ExprType.CONSTANT, value.shape, value=value)
+    import jax
+    if isinstance(value, jax.Array) and not isinstance(value, np.ndarray):
+        # device-resident constant (e.g. features generated ON the TPU):
+        # keep it on device — np.asarray here would pull it through the
+        # host tunnel just to push it back up at solve time
+        if value.ndim == 1:
+            value = value.reshape(-1, 1)
+        if value.ndim != 2:
+            raise ValueError("device constants must be 1-D or 2-D")
+        return Expression(ExprType.CONSTANT, tuple(value.shape), value=value)
     # keep floating inputs in their own dtype: re-casting a GB-scale f32
     # feature matrix to f64 copies it for no accuracy gain (every consumer
     # casts to the solver dtype anyway)

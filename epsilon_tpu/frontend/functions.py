@@ -44,14 +44,23 @@ def one_hot(y, k, dtype=np.float64):
 
 def softmax_loss(Theta, X, y):
     """Multinomial logistic loss (``functions.py:28-33``)."""
+    import jax
+    import jax.numpy as jnp
     k = Theta.n
-    X = np.asarray(X)
-    # match the data dtype: a mixed f32 @ f64 product forces numpy to copy
-    # the (possibly GB-scale) feature matrix up to f64 before the gemm
-    Y = one_hot(y, k, dtype=X.dtype)
+    if isinstance(X, jax.Array) and not isinstance(X, np.ndarray):
+        # device-resident features: X'Y reduces on the accelerator; only
+        # the small (n, k) result crosses the host link
+        Y = one_hot(y, k, dtype=np.dtype(X.dtype))
+        XtY = np.asarray(X.T @ jnp.asarray(Y))
+    else:
+        X = np.asarray(X)
+        # match the data dtype: a mixed f32 @ f64 product forces numpy to
+        # copy the (possibly GB-scale) feature matrix up to f64 pre-gemm
+        Y = one_hot(y, k, dtype=X.dtype)
+        XtY = X.T @ Y
     XT = api._wrap(X)
     return (api.sum_entries(api.log_sum_exp(XT * Theta, axis=1))
-            - api.sum_entries(api.mul_elemwise(X.T @ Y, Theta)))
+            - api.sum_entries(api.mul_elemwise(XtY, Theta)))
 
 
 def multiclass_hinge_loss(Theta, X, y):

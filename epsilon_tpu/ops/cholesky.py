@@ -138,6 +138,49 @@ class BlockCholesky:
                 f"BlockCholesky: no pivot with diagonal block among {sorted(remaining)}")
         return best
 
+    def factor_nnz(self) -> int:
+        """Cost-model size of the stored factor (per-solve traffic): nnz of
+        every D^{-1} and L block the substitution chain touches."""
+        total = 0
+        for _pivot, D_inv, L in self._steps:
+            total += D_inv.nnz()
+            for op in L.values():
+                total += op.nnz()
+        return total
+
+    def solve_mat(self, B: Dict[str, "object"]) -> Dict[str, "object"]:
+        """:meth:`solve` for matrix right-hand sides: ``B`` maps row key ->
+        ``(dim_key, R)`` arrays.  Used to collapse the factored system into
+        an explicit solve operator (basis solves)."""
+        if not self._factorized:
+            raise RuntimeError("call factor() before solve_mat()")
+        import jax.numpy as jnp
+        from .. import config
+        R = next(iter(B.values())).shape[1]
+        dtype = config.default_dtype()
+
+        y: Dict[str, "object"] = {}
+        work = dict(B)
+        for pivot, D_inv, L in self._steps:
+            yp = work.get(pivot)
+            if yp is None:
+                yp = jnp.zeros((self._dims[pivot], R), dtype=dtype)
+            y[pivot] = yp
+            for i, Lip in L.items():
+                upd = Lip.matmat(yp)
+                work[i] = work[i] - upd if i in work else -upd
+
+        z = {p: D_inv.matmat(y[p]) for p, D_inv, _ in self._steps}
+
+        x: Dict[str, "object"] = {}
+        for pivot, D_inv, L in reversed(self._steps):
+            xp = z[pivot]
+            for i, Lip in L.items():
+                if i in x:
+                    xp = xp - Lip.T.matmat(x[i])
+            x[pivot] = xp
+        return x
+
     # -- solve (JAX-traceable) ---------------------------------------------
     def solve(self, b: BlockVector) -> BlockVector:
         if not self._factorized:

@@ -1154,6 +1154,8 @@ def diagonal(d) -> LinOp:
 
 
 def dense(A) -> LinOp:
+    if isinstance(A, jax.Array) and not isinstance(A, np.ndarray):
+        return DenseOp(A)          # device-resident
     return DenseOp(np.asarray(A))
 
 

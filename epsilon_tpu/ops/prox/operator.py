@@ -295,6 +295,81 @@ class VectorProxOperator(ProxOperator):
 # KKT-based operators
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+_COLLAPSE_MAX_ENTRIES = float(_os.environ.get(
+    "EPSILON_TPU_COLLAPSE_MAX_ENTRIES", "1.6e7"))
+
+
+class _CollapsedKKT:
+    """Explicit solve operator ``x = S v + c`` folded out of a factored
+    KKT system by basis solves.  The reference applies its cached LDL^T by
+    block substitution every iteration (``block_cholesky.cc:86-137``); on
+    TPU that chain is a dozen small kernel launches and re-reads every
+    factor block from HBM, while the folded form — when it is SMALLER than
+    the factor (``factor_nnz`` cost model) — is ONE MXU matmul per apply."""
+
+    def __init__(self, chol, rhs0, out_dims: Dict[str, int],
+                 in_dims: Dict[str, int]):
+        import numpy as np
+        dtype = config.default_np_dtype()
+        self.in_keys = sorted(in_dims)
+        self.out_keys = sorted(out_dims)
+        self.in_dims = dict(in_dims)
+        self.out_dims = dict(out_dims)
+        n_in = sum(in_dims.values())
+        basis = {}
+        off = 0
+        for k in self.in_keys:
+            nk = in_dims[k]
+            E = np.zeros((nk, n_in), dtype=dtype)
+            E[:, off:off + nk] = np.eye(nk, dtype=dtype)
+            basis[k] = jnp.asarray(E)
+            off += nk
+        sol = chol.solve_mat(basis)
+        self.S = jnp.concatenate([sol[k][:, :] for k in self.out_keys],
+                                 axis=0)
+        csol = chol.solve(rhs0.to_device())
+        zero = jnp.zeros((), self.S.dtype)
+        self.c = jnp.concatenate([
+            jnp.broadcast_to(csol[k] if k in csol else zero,
+                             (out_dims[k],)).astype(self.S.dtype)
+            for k in self.out_keys])
+        self._offs = {}
+        off = 0
+        for k in self.out_keys:
+            self._offs[k] = off
+            off += out_dims[k]
+
+    @staticmethod
+    def viable(chol, out_dims, in_dims) -> bool:
+        entries = float(sum(in_dims.values())) * sum(out_dims.values())
+        return (entries <= _COLLAPSE_MAX_ENTRIES
+                and entries < chol.factor_nnz())
+
+    def apply(self, v: BlockVector) -> BlockVector:
+        from ..linop import _to_device
+        flat = jnp.concatenate([v.get(k, self.in_dims[k])
+                                for k in self.in_keys])
+        y = _to_device(self.S) @ flat + _to_device(self.c)
+        return BlockVector({k: y[self._offs[k]:self._offs[k]
+                                 + self.out_dims[k]]
+                            for k in self.out_keys})
+
+
+def _maybe_collapse(chol, rhs0, A: BlockMatrix, var_keys, var_dims_of):
+    """Build the collapsed solve operator when it beats the factor chain;
+    ``A`` supplies the input (metric-row) key space, ``var_keys`` the
+    output selection."""
+    in_dims = {r: A.row_dim(r) for r in A.row_keys()}
+    out_dims = {k: var_dims_of(k) for k in var_keys}
+    if not in_dims or not out_dims:
+        return None
+    if not _CollapsedKKT.viable(chol, out_dims, in_dims):
+        return None
+    return _CollapsedKKT(chol, rhs0, out_dims, in_dims)
+
+
 def _kkt_blocks(*mats: BlockMatrix) -> Dict:
     out = BlockMatrix()
     for M in mats:
@@ -373,8 +448,13 @@ class ZeroProxOperator(ProxOperator):
         self.chol = BlockCholesky(M).factor()
         self.rhs0 = -1.0 * g
         self.var_keys = H.col_keys()
+        self._collapsed = _maybe_collapse(
+            self.chol, self.rhs0, A, self.var_keys,
+            lambda k: self.chol._dims[k])
 
     def apply(self, v: BlockVector) -> BlockVector:
+        if self._collapsed is not None:
+            return _descale_solution(self._collapsed.apply(v), self._descale)
         x = self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
         return _descale_solution(x, self._descale)
 
@@ -401,8 +481,13 @@ class AffineProxOperator(ProxOperator):
                 c[ckey] = c[ckey] + vec if ckey in c else vec
         self.rhs0 = -1.0 * b - c
         self.var_keys = A.col_keys()
+        self._collapsed = _maybe_collapse(
+            self.chol, self.rhs0, A, self.var_keys,
+            lambda k: self.chol._dims[k])
 
     def apply(self, v: BlockVector) -> BlockVector:
+        if self._collapsed is not None:
+            return _descale_solution(self._collapsed.apply(v), self._descale)
         x = self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
         return _descale_solution(x, self._descale)
 
@@ -429,8 +514,13 @@ class SumSquareProxOperator(ProxOperator):
         self.chol = BlockCholesky(M).factor()
         self.rhs0 = (-a) * g
         self.var_keys = H.col_keys()
+        self._collapsed = _maybe_collapse(
+            self.chol, self.rhs0, A, self.var_keys,
+            lambda k: self.chol._dims[k])
 
     def apply(self, v: BlockVector) -> BlockVector:
+        if self._collapsed is not None:
+            return _descale_solution(self._collapsed.apply(v), self._descale)
         x = self.chol.solve(self.rhs0.to_device() + v).select(self.var_keys)
         return _descale_solution(x, self._descale)
 
