@@ -64,7 +64,23 @@ def main():
     parser.add_argument("--nnz", type=float, default=None,
                         help="target total nonzeros; overrides m (S*m*n=nnz)")
     parser.add_argument("--iters", type=int, default=500)
+    parser.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                        help="force the CPU backend with N virtual devices "
+                             "(the axon TPU plugin re-registers itself even "
+                             "when JAX_PLATFORMS=cpu, so the env var alone "
+                             "is not enough)")
     args = parser.parse_args()
+
+    if args.cpu_mesh:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.cpu_mesh}").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     m = args.m
     if args.nnz is not None:
