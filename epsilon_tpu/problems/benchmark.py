@@ -168,6 +168,7 @@ def run_benchmarks_isolated(problems: List[ProblemInstance],
                             suite_flags: Optional[List[str]] = None,
                             row_timeout: int = 600,
                             attempts: int = 2,
+                            json_path: Optional[str] = None,
                             **kwargs) -> List[Dict]:
     """Each row in its OWN subprocess under a hard timeout: per-row
     isolation (no chip-state contamination between rows — VERDICT r4
@@ -209,6 +210,9 @@ def run_benchmarks_isolated(problems: List[ProblemInstance],
                                attempt=attempt)
         results.append(row or dict(name=inst.name, error="no result"))
         print(format_result(results[-1]), flush=True)
+        if json_path:  # incremental: partial table survives a cut run
+            with open(json_path, "w") as f:
+                _json.dump(results, f, indent=1, default=float)
     return results
 
 
@@ -274,6 +278,7 @@ def main():
                  ["--scale"] if args.scale else [])
         results = run_benchmarks_isolated(
             suite, suite_flags=flags, row_timeout=args.row_timeout,
+            json_path=args.json,
             rel_tol=args.rel_tol, max_iterations=args.max_iterations)
     else:
         results = run_benchmarks(suite, rel_tol=args.rel_tol,
