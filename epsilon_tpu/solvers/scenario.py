@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -47,6 +48,8 @@ import jax
 
 from .. import config
 from ..ir import Cone, ProxProblem
+
+logger = logging.getLogger("epsilon_tpu")
 from ..ops.block import BlockVector
 from ..ops.linop import lift_apply, lift_collect
 
@@ -216,6 +219,14 @@ def detect_scenario_groups(problem: ProxProblem, term_ops, term_vars,
             groups_by_sig.items(), key=lambda kv: min(m[0] for m in kv[1])):
         S = len(members)
         if S < n_devices or S % n_devices != 0:
+            # no silent caps: a 12-scenario family on 8 devices falls back
+            # to bucket sharding (replicated state, psum-combined compute),
+            # which is correct but loses the memory sharding — say so
+            logger.info(
+                "scenario stacking skipped for %d isomorphic terms on %r: "
+                "S=%d not a multiple of n_devices=%d (>= one per device "
+                "required); falling back to bucket term sharding",
+                S, sv, S, n_devices)
             continue
         if sv in claimed_pvs:
             # the shared var was already folded away as another group's
