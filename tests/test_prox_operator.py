@@ -239,3 +239,40 @@ def test_multi_variable_term(rng):
     x = np.asarray(op.apply(BlockVector({"va": jnp.asarray(v1)}))["a"])
     expected = np.sign(v1) * np.maximum(np.abs(v1) - 1.0, 0)
     np.testing.assert_allclose(x, expected, atol=1e-9)
+
+
+def test_collapsed_kkt_matches_chain(rng):
+    """The solve-operator collapse (x = S v + c) is algebraically the same
+    map as the block-substitution chain it replaces — compare the two on
+    the same factored system (collapse forced on/off via the entry gate)."""
+    from epsilon_tpu.ops.prox import operator as opmod
+    import jax.numpy as jnp
+
+    m, n = 6, 10
+    H = rng.randn(m, n)
+    g = rng.randn(m)
+    Hb = BlockMatrix({("c0", "x"): linop.dense(H)})
+    A = BlockMatrix({("x", "x"): linop.scalar(1.3, n)})
+    spec = ProxFunctionSpec(kind=ProxKind.ZERO)
+    op = opmod.ZeroProxOperator(
+        spec, AffineOperator(Hb, BlockVector({"c0": np.asarray(g)})),
+        AffineOperator(A, BlockVector()))
+    v = BlockVector({"x": jnp.asarray(rng.randn(n))})
+    saved_max = opmod._COLLAPSE_MAX_ENTRIES
+    try:
+        if op._collapsed is None:
+            opmod._COLLAPSE_MAX_ENTRIES = 1e9
+            op2 = opmod.ZeroProxOperator(
+                spec, AffineOperator(Hb, BlockVector({"c0": np.asarray(g)})),
+                AffineOperator(A, BlockVector()))
+        else:
+            op2 = op
+        assert op2._collapsed is not None
+        x_col = op2.apply(v)
+        op2._collapsed, saved = None, op2._collapsed
+        x_chain = op2.apply(v)
+        op2._collapsed = saved
+        np.testing.assert_allclose(np.asarray(x_col["x"]),
+                                   np.asarray(x_chain["x"]), atol=1e-9)
+    finally:
+        opmod._COLLAPSE_MAX_ENTRIES = saved_max
